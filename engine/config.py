@@ -1,0 +1,154 @@
+"""All engine thresholds, allowlists and rule ordering, with provenance.
+
+The reference derives its cutoffs by fitting mixture models offline and
+pasting the fitted constants into the pipeline (e.g. gap strata 8/21/68 min,
+Step3-Temporal-Inconsistency.R:349-355,366,529,676,832; spatial strata
+12/57/258/1276 m, Step4-Spatial-Inconsistency.R:193-199,244-253; impossible
+speed 90 m/s, Step3:135).  We follow the same pattern: every threshold is a
+named constant here, derived once, never recomputed at run time.
+
+Rule names double as ``drop_reason`` values.  ``RULE_ORDER`` is the canonical
+precedence: the *first* failing rule is the drop_reason (graft of the
+reference's fixed Step1->Step6 script order, PostProcessing-Pipeline.R:20-44).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# ---------------------------------------------------------------------------
+# Heuristic rule thresholds (graft of the reference's sanity filters)
+# ---------------------------------------------------------------------------
+
+# Duration bounds in milliseconds.  Graft of `endtime > starttime`
+# (Step1-Read-Data-Formatting.R:66-68) + the day-long-gap cap
+# (`duration < 1440` minutes, Step3:96).
+DUR_MS_MIN = 300
+DUR_MS_MAX = 120_000
+
+# Sample-rate allowlist.  Graft of the reference's domain checks on
+# recoded subtype values (Step1:76-93).
+SR_ALLOWLIST = (8000, 16000, 22050, 44100, 48000)
+
+# Codec canonicalization map + allowlist.  Graft of the 16-way subtype
+# recode chain HOME->HO ... OTHER->OA/OT (Step1:76-93): lowercase/trim,
+# then alias -> canonical, then allowlist membership.
+CODEC_ALIASES = {
+    "pcm_s16le": "pcm_s16le",
+    "pcm": "pcm_s16le",
+    "wav": "pcm_s16le",
+    "flac": "flac",
+    "opus": "opus",
+    "ogg_opus": "opus",
+    "mp3": "mp3",
+    "mpeg3": "mp3",
+    "mpeg-3": "mp3",
+}
+CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3")
+
+# Transcript length bounds in characters (graft of missing-route detection,
+# Step2-Data-Incompleteness.R:3, + stratum bounds pattern Step3:366-832).
+TXT_LEN_MIN = 3
+TXT_LEN_MAX = 5000
+
+# Character-composition bounds.  `CHARS_PER_SEC_MAX` is the graft of the
+# impossible-speed filter `speed < 90` m/s (Step3:135): no human speech
+# yields > 50 transcript chars per second of audio; < 0.2 chars/sec means
+# the transcript cannot belong to the clip.  `ALPHA_RATIO_MIN` is the
+# graft of the -999-sentinel "garbage coordinate" checks (Step2:3).
+ALPHA_RATIO_MIN = 0.5
+CHARS_PER_SEC_MIN = 0.2
+CHARS_PER_SEC_MAX = 50.0
+
+# Decode-consistency bound: |decoded_dur_ms - dur_ms| / dur_ms.  Graft of
+# the reference's recompute-and-check pattern (distance/duration/speed
+# recomputed after merges, Step5-Attribute-Redundancy.R:47-55).
+DUR_MISMATCH_FRAC = 0.10
+
+# ---------------------------------------------------------------------------
+# Model-score thresholds (graft of the mixture-model-derived cutoffs, §2.9)
+# ---------------------------------------------------------------------------
+
+# Language-ID: margin between best and second-best per-trigram average
+# log-likelihood under the char-trigram model.  Measured on the seeded
+# synthetic corpus (n=4000): clean rows' margin min 1.10 (p1 1.39), PII
+# rows min ~0.81, mixed-language token salad median 0.25 / max 0.99.
+# Derived once and frozen (like Step3:349-355's density crossover -> 8 min
+# cutoff).
+LID_MARGIN_MIN = 0.5
+
+# Perplexity: word-bigram perplexity under the predicted language's model.
+# Measured: clean max 25.4, scrubbed-PII p99 71, shuffled-word gibberish
+# min 94.6 -> 90 separates cleanly.
+PPL_MAX = 90.0
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (graft of Step5 run-merge + Step4 small-gap snap)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4              # 4 bands x 16 bits: exact recall for d<=3
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_SHINGLE_K = 3          # token 3-gram shingles
+# SimHash near-dup only applies to transcripts with >= this many tokens:
+# hamming<=3 of 64 needs ~95% shingle overlap, which is meaningless for
+# short utterances (1 token edit of a 10-token text flips ~16 bits).
+# Short-clip near-dups are caught by the audio-checksum rule instead.
+SIMHASH_MIN_TOKENS = 16
+
+# ---------------------------------------------------------------------------
+# Canonical rule order -> drop_reason precedence
+# ---------------------------------------------------------------------------
+
+RULE_DUR_BOUNDS = "DUR_BOUNDS"
+RULE_SR_INVALID = "SR_INVALID"
+RULE_CODEC_INVALID = "CODEC_INVALID"
+RULE_TXT_EMPTY = "TXT_EMPTY"
+RULE_TXT_LEN = "TXT_LEN"
+RULE_CHAR_RATIO = "CHAR_RATIO"
+RULE_DUR_MISMATCH = "DUR_MISMATCH"
+RULE_LID_LOWCONF = "LID_LOWCONF"
+RULE_HIGH_PPL = "HIGH_PPL"
+RULE_TOXIC = "TOXIC"
+RULE_EXACT_DUP = "EXACT_DUP"
+RULE_NEAR_DUP = "NEAR_DUP"
+
+RULE_ORDER = (
+    RULE_DUR_BOUNDS,
+    RULE_SR_INVALID,
+    RULE_CODEC_INVALID,
+    RULE_TXT_EMPTY,
+    RULE_TXT_LEN,
+    RULE_CHAR_RATIO,
+    RULE_DUR_MISMATCH,
+    RULE_LID_LOWCONF,
+    RULE_HIGH_PPL,
+    RULE_TOXIC,
+    RULE_EXACT_DUP,
+    RULE_NEAR_DUP,
+)
+
+# ---------------------------------------------------------------------------
+# Partitioning / skew
+# ---------------------------------------------------------------------------
+
+N_PARTS = 64                   # part_id = pmod(xxhash64(clip_id), N_PARTS)
+N_SALT = 16                    # salt buckets for skewed per-language aggs
+
+# Arrow batch size for the fused UDF: payloads are ~100 KB+ of PCM per row,
+# so cap rows/batch to keep each Arrow batch ~64 MB.
+ARROW_MAX_RECORDS_PER_BATCH = 512
+
+
+def rule_version() -> str:
+    """Hash of every threshold — stamped into lineage rows so a config
+    change invalidates prior checkpoints (resume-safety)."""
+    blob = repr((
+        DUR_MS_MIN, DUR_MS_MAX, SR_ALLOWLIST, sorted(CODEC_ALIASES.items()),
+        CODEC_ALLOWLIST, TXT_LEN_MIN, TXT_LEN_MAX, ALPHA_RATIO_MIN,
+        CHARS_PER_SEC_MIN, CHARS_PER_SEC_MAX, DUR_MISMATCH_FRAC,
+        LID_MARGIN_MIN, PPL_MAX, SIMHASH_BANDS, SIMHASH_BAND_BITS,
+        SIMHASH_HAMMING_MAX, SIMHASH_SHINGLE_K, RULE_ORDER, N_PARTS,
+    )).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
