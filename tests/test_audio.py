@@ -1,0 +1,65 @@
+"""PCM decode features + the SNR >= 30 dB invariant (BASELINE input_hint)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine import audio_core
+
+
+def _tone(sr: int, dur_s: float, f: float, amp: float) -> np.ndarray:
+    t = np.arange(int(sr * dur_s)) / sr
+    return (amp * np.sin(2 * np.pi * f * t)).astype(np.float64)
+
+
+def test_decode_roundtrip_snr():
+    """int16 quantization of a synthetic signal must exceed 30 dB SNR."""
+    sr = 16000
+    ref = _tone(sr, 1.0, 440.0, 0.5) + _tone(sr, 1.0, 973.0, 0.2)
+    payload = (ref * 32767.0).astype("<i2").tobytes()
+    decoded = audio_core.decode_pcm_s16le(payload)
+    assert decoded is not None and decoded.size == sr
+    assert audio_core.snr_db(ref, decoded) >= 30.0
+
+
+def test_features_values():
+    sr = 8000
+    ref = _tone(sr, 2.0, 200.0, 0.25)
+    payload = (ref * 32767.0).astype("<i2").tobytes()
+    dur, n, rms, clip_ratio, checksum = audio_core.features(payload, sr)
+    assert dur == 2000 and n == sr * 2
+    assert abs(rms - 0.25 / np.sqrt(2)) < 1e-3
+    assert clip_ratio == 0.0
+    assert len(checksum) == 32
+
+
+def test_features_clipping_detected():
+    sr = 8000
+    ref = np.ones(sr) * 0.9999
+    payload = (ref * 32767.0).astype("<i2").tobytes()
+    _, _, _, clip_ratio, _ = audio_core.features(payload, sr)
+    assert clip_ratio > 0.99
+
+
+@pytest.mark.parametrize("payload,sr", [
+    (None, 16000), (b"", 16000), (b"\x01", 16000),
+])
+def test_features_degenerate_payload(payload, sr):
+    assert audio_core.features(payload, sr) == (None, None, None, None, None)
+
+
+def test_features_bad_sr():
+    payload = (np.zeros(100)).astype("<i2").tobytes()
+    dur, n, rms, cr, ck = audio_core.features(payload, 0)
+    assert dur is None and n == 100 and ck is not None
+
+
+def test_odd_length_payload_truncates():
+    pcm = audio_core.decode_pcm_s16le(b"\x00\x01\x02")
+    assert pcm is not None and pcm.size == 1
+
+
+def test_compressed_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        audio_core.decode_compressed(b"xx", "opus")

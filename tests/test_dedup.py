@@ -1,0 +1,121 @@
+"""Dedup operator edge cases: pairs/triples/singletons, canonical choice,
+band recall (SURVEY §5.2-3; graft of Step5 run cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import config, simhash_core, templates
+from engine.operators import dedup, scoring
+
+
+def _scored(spark, rows):
+    """rows: (clip_id, pcm_checksum, transcript).  Builds the minimal scored
+    frame dedup needs (simhash/bands computed via the shared core)."""
+    data = []
+    for cid, ck, t in rows:
+        u = simhash_core.simhash_for_dedup(t)
+        b = simhash_core.bands(u)
+        data.append((cid, 0, t, ck, simhash_core.to_signed64(u),
+                     b[0], b[1], b[2], b[3]))
+    return spark.createDataFrame(
+        data, "clip_id string, part_id int, transcript string, "
+              "pcm_checksum string, simhash long, band0 int, band1 int, "
+              "band2 int, band3 int")
+
+
+def _run(spark, rows):
+    out = dedup.with_dup_flags(_scored(spark, rows)).toPandas()
+    return out.set_index("clip_id")
+
+
+def test_exact_dup_pair_and_triple(spark):
+    f = _run(spark, [
+        ("a1", "h1", "same text"), ("a2", "h1", "same text"),
+        ("b1", "h2", "t"), ("b2", "h2", "t"), ("b3", "h2", "t"),
+        ("solo", "h3", "unique"),
+    ])
+    e = "f_" + config.RULE_EXACT_DUP
+    assert not f.loc["a1", e] and f.loc["a2", e]
+    assert not f.loc["b1", e] and f.loc["b2", e] and f.loc["b3", e]
+    assert not f.loc["solo", e]
+
+
+def test_audio_near_dup_edited_transcript(spark):
+    f = _run(spark, [
+        ("a1", "h1", "hello world one"),
+        ("a2", "h1", "hello world two"),   # same audio, edited text
+        ("b", "h9", "hello world one"),    # same text, different audio
+    ])
+    n = "f_" + config.RULE_NEAR_DUP
+    e = "f_" + config.RULE_EXACT_DUP
+    assert not f.loc["a1", n] and f.loc["a2", n]
+    assert not f.loc["a2", e]
+    assert not f.loc["b", n] and not f.loc["b", e]
+
+
+def test_canonical_is_lexicographic_min(spark):
+    # insertion order must not matter, only clip_id order
+    f = _run(spark, [
+        ("z9", "h1", "x y z"), ("a0", "h1", "x y z"), ("m5", "h1", "x y z"),
+    ])
+    e = "f_" + config.RULE_EXACT_DUP
+    assert not f.loc["a0", e] and f.loc["m5", e] and f.loc["z9", e]
+
+
+def _long_text(n_words=60, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = templates.VOCABS["L1"]
+    return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n_words))
+
+
+def test_simhash_near_dup_long_text(spark):
+    """The d<=3 radius catches formatting-level variants of long texts
+    (case/whitespace changes -> identical lowered shingles -> hamming 0).
+    Token edits perturb ~3 shingles each and land at hamming ~4-7 even for
+    400-word texts — those are covered by the audio-key rule instead; this
+    is the documented semantic of the transcript-simhash rule."""
+    base = _long_text()
+    cased = base.upper()          # formatting variant: hamming 0
+    words = base.split()
+    words[10] = "edited"
+    edited = " ".join(words)      # 1-token edit: hamming > 3 at 60 words
+    assert simhash_core.hamming(
+        simhash_core.simhash64(base), simhash_core.simhash64(edited)) \
+        > config.SIMHASH_HAMMING_MAX
+    f = _run(spark, [
+        ("a", "h1", base), ("b", "h2", cased), ("c", "h3", edited),
+        ("d", "h4", _long_text(seed=9)),
+    ])
+    n = "f_" + config.RULE_NEAR_DUP
+    assert not f.loc["a", n] and f.loc["b", n]
+    assert not f.loc["c", n] and not f.loc["d", n]
+
+
+def test_short_text_excluded_from_simhash(spark):
+    # identical short texts, different audio: not near-dups (audio differs,
+    # simhash gated by SIMHASH_MIN_TOKENS)
+    f = _run(spark, [("a", "h1", "short same text"),
+                     ("b", "h2", "short same text")])
+    n = "f_" + config.RULE_NEAR_DUP
+    assert not f.loc["a", n] and not f.loc["b", n]
+
+
+def test_null_payload_excluded(spark):
+    f = _run(spark, [("a", None, "some text here"), ("b", None, "some text here")])
+    assert not f["f_" + config.RULE_EXACT_DUP].any()
+    assert not f["f_" + config.RULE_NEAR_DUP].any()
+
+
+def test_band_recall_exact_for_radius(spark):
+    """<=3 differing bits can never touch all 4 bands (pigeonhole)."""
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        u = int(rng.integers(0, 2**63))
+        flips = rng.choice(64, size=3, replace=False)
+        v = u
+        for b in flips:
+            v ^= 1 << int(b)
+        shared = any(x == y for x, y in
+                     zip(simhash_core.bands(u), simhash_core.bands(v)))
+        assert shared

@@ -1,0 +1,57 @@
+"""Unit tests for the LID and perplexity scorers (SURVEY §5.2-2)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import config, lid_core, ppl_core, templates
+
+
+def test_lid_identifies_every_language():
+    for lang in templates.LANGS:
+        text = " ".join(templates.SENTENCES[lang][:3])
+        pred, margin = lid_core.score_text(text)
+        assert pred == lang
+        assert margin > config.LID_MARGIN_MIN
+
+
+def test_lid_mixed_text_low_margin():
+    a = templates.SENTENCES["L1"][0].split()
+    b = templates.SENTENCES["L4"][0].split()
+    mixed = " ".join(w for pair in zip(a, b) for w in pair)
+    _, margin = lid_core.score_text(mixed)
+    assert margin < config.LID_MARGIN_MIN
+
+
+def test_lid_empty_und():
+    assert lid_core.score_text("") == ("und", 0.0)
+    assert lid_core.score_text(None) == ("und", 0.0)
+
+
+def test_ppl_clean_below_threshold():
+    for lang in templates.LANGS:
+        text = " ".join(templates.SENTENCES[lang][:4])
+        assert ppl_core.perplexity(text, lang) < config.PPL_MAX
+
+
+def test_ppl_shuffled_above_threshold():
+    rng = np.random.default_rng(7)
+    for lang in templates.LANGS:
+        words = " ".join(templates.SENTENCES[lang][:4]).split()
+        shuffled = " ".join(np.array(words)[rng.permutation(len(words))])
+        assert ppl_core.perplexity(shuffled, lang) > config.PPL_MAX
+
+
+def test_ppl_unknown_lang_or_empty_is_huge():
+    assert ppl_core.perplexity("anything", "und") == 1e9
+    assert ppl_core.perplexity("", "L1") == 1e9
+
+
+def test_batch_forms_match_scalar():
+    texts = [" ".join(templates.SENTENCES[lang][:2]) for lang in templates.LANGS]
+    langs, margins = lid_core.score_batch(texts)
+    ppls = ppl_core.perplexity_batch(texts, langs)
+    for i, t in enumerate(texts):
+        sl, sm = lid_core.score_text(t)
+        assert langs[i] == sl and margins[i] == sm
+        assert ppls[i] == ppl_core.perplexity(t, sl)

@@ -1,0 +1,131 @@
+"""Hand-built small-DataFrame tests per heuristic rule family —
+the granularity the reference lacks (SURVEY §5.2-2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from engine import config
+from engine.operators import heuristics
+
+
+def _df(spark, rows):
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _flags(spark, rows) -> pd.DataFrame:
+    out = heuristics.with_heuristic_flags(_df(spark, rows)).toPandas()
+    return out.set_index("clip_id")
+
+
+def test_dur_bounds(spark):
+    f = _flags(spark, [
+        ("ok", 16000, 5000, "mp3", "hello there"),
+        ("low", 16000, 299, "mp3", "x"),
+        ("edge_low", 16000, 300, "mp3", "x"),
+        ("high", 16000, 120001, "mp3", "x"),
+        ("edge_high", 16000, 120000, "mp3", "x"),
+        ("null", 16000, None, "mp3", "x"),
+        ("neg", 16000, -5, "mp3", "x"),
+    ])
+    col = "f_" + config.RULE_DUR_BOUNDS
+    assert not f.loc["ok", col] and not f.loc["edge_low", col] \
+        and not f.loc["edge_high", col]
+    assert f.loc["low", col] and f.loc["high", col] and f.loc["null", col] \
+        and f.loc["neg", col]
+
+
+def test_sr_allowlist(spark):
+    f = _flags(spark, [
+        ("a", 16000, 1000, "mp3", "x"), ("b", 44100, 1000, "mp3", "x"),
+        ("c", 96000, 1000, "mp3", "x"), ("d", 0, 1000, "mp3", "x"),
+        ("e", None, 1000, "mp3", "x"),
+    ])
+    col = "f_" + config.RULE_SR_INVALID
+    assert not f.loc["a", col] and not f.loc["b", col]
+    assert f.loc["c", col] and f.loc["d", col] and f.loc["e", col]
+
+
+def test_codec_canonicalization(spark):
+    """Graft of the subtype recode chain (Step1:76-93)."""
+    f = _flags(spark, [
+        ("clean", 16000, 1000, "mp3", "x"),
+        ("upper", 16000, 1000, "MP3", "x"),
+        ("alias", 16000, 1000, "mpeg3", "x"),
+        ("spacey", 16000, 1000, " Flac ", "x"),
+        ("wav", 16000, 1000, "wav", "x"),
+        ("bad", 16000, 1000, "xvc9", "x"),
+        ("empty", 16000, 1000, "", "x"),
+        ("null", 16000, 1000, None, "x"),
+    ])
+    assert f.loc["upper", "canon_codec"] == "mp3"
+    assert f.loc["alias", "canon_codec"] == "mp3"
+    assert f.loc["spacey", "canon_codec"] == "flac"
+    assert f.loc["wav", "canon_codec"] == "pcm_s16le"
+    col = "f_" + config.RULE_CODEC_INVALID
+    for cid in ("clean", "upper", "alias", "spacey", "wav"):
+        assert not f.loc[cid, col], cid
+    for cid in ("bad", "empty", "null"):
+        assert f.loc[cid, col], cid
+
+
+def test_txt_empty_and_len(spark):
+    f = _flags(spark, [
+        ("ok", 16000, 1000, "mp3", "abc"),
+        ("null", 16000, 1000, "mp3", None),
+        ("blank", 16000, 1000, "mp3", "  \t "),
+        ("short", 16000, 1000, "mp3", "ab"),
+        ("long", 16000, 200000, "mp3", "a" * 5001),
+        ("edge", 16000, 200000, "mp3", "a" * 5000),
+    ])
+    e, l = "f_" + config.RULE_TXT_EMPTY, "f_" + config.RULE_TXT_LEN
+    assert not f.loc["ok", e] and not f.loc["ok", l]
+    assert f.loc["null", e] and not f.loc["null", l]
+    assert f.loc["blank", e]
+    assert f.loc["short", l] and f.loc["long", l] and not f.loc["edge", l]
+
+
+def test_char_ratio(spark):
+    f = _flags(spark, [
+        ("ok", 16000, 2000, "mp3", "twenty chars of text"),       # 10 cps
+        ("digits", 16000, 2000, "mp3", "123456 789 012 345 678"),  # alpha 0
+        ("fast", 16000, 1000, "mp3", "x" * 60),                    # 60 cps
+        ("slow", 16000, 60000, "mp3", "abcd"),                     # 0.07 cps
+        ("unicode", 16000, 2000, "mp3", "кира миало тета болу"),   # cyrillic is alpha
+    ])
+    col = "f_" + config.RULE_CHAR_RATIO
+    assert not f.loc["ok", col] and not f.loc["unicode", col]
+    assert f.loc["digits", col] and f.loc["fast", col] and f.loc["slow", col]
+    assert abs(f.loc["ok", "chars_per_sec"] - 10.0) < 1e-9
+
+
+def test_model_flag_dur_mismatch(spark):
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("decoded_dur_ms", T.IntegerType()),
+        T.StructField("lid_margin", T.DoubleType()),
+        T.StructField("ppl_score", T.DoubleType()),
+        T.StructField("tox_severe", T.BooleanType()),
+    ])
+    df = spark.createDataFrame([
+        ("exact", 16000, 1000, 1000, 1.0, 10.0, False),
+        ("within", 16000, 1000, 1099, 1.0, 10.0, False),
+        ("over", 16000, 1000, 1101, 1.0, 10.0, False),
+        ("missing", 16000, 1000, None, 1.0, 10.0, False),
+        ("bad_sr", 12345, 1000, None, 1.0, 10.0, False),  # SR rule's problem
+    ], schema)
+    f = heuristics.with_model_flags(df).toPandas().set_index("clip_id")
+    col = "f_" + config.RULE_DUR_MISMATCH
+    assert not f.loc["exact", col] and not f.loc["within", col]
+    assert f.loc["over", col] and f.loc["missing", col]
+    assert not f.loc["bad_sr", col]
