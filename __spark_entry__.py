@@ -1,38 +1,119 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data-pipeline operator set), each with an
+exactly-equivalent DuckDB oracle in `oracle_sql()`.  The clips
+quality-filter pipeline itself (the engine's raison d'être) is exposed as
+rows-only entries (`clips_*`) — its hard correctness gate is the
+pure-pandas oracle in tests/test_pipeline_oracle.py, run by
+`python -m pytest -x -q`.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from engine import demo_queries, demo_sim_queries, demo_text_queries
+
+_CLIPS_CACHE: dict[str, str] = {}
+
+
+def _clips_path(spark: SparkSession) -> str:
+    """Deterministic small clips table, generated once per process."""
+    if "path" not in _CLIPS_CACHE:
+        from engine import fixtures
+
+        path = os.path.join(tempfile.gettempdir(), "spark_graft_clips_entry")
+        marker = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(marker):
+            clips_pd, _ = fixtures.generate_clips(800, seed=42, profile="test")
+            fixtures.write_clips_parquet(spark, clips_pd, path)
+        _CLIPS_CACHE["path"] = path
+    return _CLIPS_CACHE["path"]
+
+
+def _q_clips_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the fused quality-filter pass over a deterministic clips
+    table (BASELINE.json north_star).  rows-only driver check; exact gate
+    in tests/."""
+    from engine.operators import pipeline
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    labels = pipeline.run_pipeline(clips)
+    return labels.select("clip_id", "part_id", "keep", "drop_reason",
+                         "lang", "scrubbed_transcript", "n_scrub_hits")
+
+
+def _q_clips_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload decode: PCM -> features via the Arrow iterator
+    UDF (binary column plumbing; rows-only)."""
+    from engine.operators import pipeline, scoring
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    scored = scoring.score_clips(clips)
+    return scored.select("clip_id", "decoded_dur_ms", "n_samples",
+                         "rms", "clipping_ratio", "pcm_checksum")
+
+
+def _q_clips_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics of the fused pass (rows-only)."""
+    from engine.operators import decision, pipeline
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    labels = pipeline.run_pipeline(clips)
+    m = decision.lineage_metrics(labels)
+    return m.select("part_id", "status", "n_total", "n_kept", "n_dropped",
+                    "n_scrubbed", "rule_version")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: text-quality + dedup labeling of
+    the documents table — the engine's keep/drop semantics applied to the
+    driver's corpus (rows > 0, stable schema)."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(toks)
+    alpha = (F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+             / F.length("text"))
+    h = F.md5("text")
+    from pyspark.sql import Window
+    w = Window.partitionBy("h")
+    df = (d.withColumn("h", h)
+          .withColumn("is_dup", F.col("doc_id") > F.min("doc_id").over(w))
+          .withColumn("n_tokens", n_tok)
+          .withColumn("alpha_ratio", F.round(alpha, 6)))
+    reason = (F.when(F.col("n_tokens") < 5, "TOO_SHORT")
+              .when(F.col("alpha_ratio") < 0.5, "CHAR_RATIO")
+              .when(F.col("is_dup"), "EXACT_DUP"))
+    return (df.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .select("doc_id", "lang", "source", "n_tokens", "alpha_ratio",
+                    "keep", "drop_reason"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(demo_queries.QUERIES)
+    out.update(demo_text_queries.QUERIES)
+    out.update(demo_sim_queries.QUERIES)
+    out["clips_pipeline"] = _q_clips_pipeline
+    out["clips_decode"] = _q_clips_decode
+    out["clips_lineage"] = _q_clips_lineage
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(demo_queries.ORACLE_SQL)
+    out.update(demo_text_queries.ORACLE_SQL)
+    out.update(demo_sim_queries.ORACLE_SQL)
+    # clips_* entries intentionally omitted: non-SQL-expressible (Arrow UDF
+    # decode + model scoring); gated instead by tests/test_pipeline_oracle.py
+    return out

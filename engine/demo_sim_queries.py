@@ -1,0 +1,151 @@
+"""Similarity-search queries over the `embeddings` table: brute-force
+cosine top-k (baseline) and random-hyperplane LSH bucketing (scale path).
+
+All vector math is expressed with native higher-order functions
+(zip_with/aggregate) — JVM-side, no Python in the hot path.  Hyperplane
+weights are small-integer-valued (exact in IEEE doubles), so bucket bits
+are bit-identical across engines; cosine scores are rounded before top-k
+ordering with doc-id tie-breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .demo_queries import _t
+
+N_PLANES = 4
+DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic integer-valued hyperplane weights: exact in doubles."""
+    return [float(((p * 131 + d * 17) % 7) - 3) for d in range(DIM)]
+
+
+def _dot(vec_col, weights: list[float]):
+    lit = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 4 sign bits -> 16 buckets; per-bucket stats.
+    The ANN scale path: at 10^12 rows the bucket id becomes the shuffle/
+    partition key and candidate search stays within buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(_dot(F.col("embedding"), _plane(p)) >= 0, 1 << p).otherwise(0)
+         for p in range(N_PLANES)), F.lit(0))
+    return (e.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec_id")))
+
+
+def _sql_dot(col: str, weights: list[float]) -> str:
+    lits = ", ".join(repr(w) for w in weights)
+    return f"list_dot_product({col}, [{lits}])"
+
+
+def _sql_lsh() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', _plane(p))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES))
+    return f"""
+SELECT ({bits}) AS bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+SQL_EMBEDDING_LSH_BUCKETS = _sql_lsh()
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a fixed query vector (vec_id = 0):
+    the exact baseline ANN answers are measured against."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = [float(x) for x in q]
+    qn = sum(x * x for x in q) ** 0.5
+    dot = _dot(F.col("embedding"), q)
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                              lambda a, x: a + x * x))
+    cos = F.round(dot / (norm * F.lit(qn)), 4)
+    return (e.where(F.col("vec_id") != 0)
+            .select("vec_id", cos.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10))
+
+
+def _sql_topk() -> str:
+    return """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(e.embedding, q.qv)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+SQL_EMBEDDING_TOPK = _sql_topk()
+
+
+def q_embedding_centroid_dist(spark, sf_dir):
+    """Per-label centroid + distance-to-centroid stats (the cluster-band
+    classification analog of the reference's k-means stage, Step3:451-455,
+    without iterative fitting: one agg for centroids, one join for
+    distances)."""
+    e = _t(spark, sf_dir, "embeddings")
+    by_dim = e.select("label", F.posexplode("embedding").alias("d", "x"))
+    centroids = (by_dim.groupBy("label", "d").agg(F.avg("x").alias("c"))
+                 .groupBy("label")
+                 .agg(F.array_sort(F.collect_list(F.struct("d", "c")))
+                      .alias("pairs"))
+                 .select("label", F.expr("transform(pairs, p -> p.c)").alias("centroid")))
+    joined = e.join(F.broadcast(centroids), "label")
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("centroid"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda a, x: a + x))
+    return (joined.select("label", dist.alias("dist"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("dist"), 3).alias("avg_dist"),
+                 F.round(F.max("dist"), 3).alias("max_dist")))
+
+
+SQL_EMBEDDING_CENTROID_DIST = """
+WITH dims AS (
+  SELECT label, vec_id, embedding[CAST(t.i AS INT)] AS x, t.i AS d
+  FROM embeddings, RANGE(1, 65) t(i)),
+cent AS (
+  SELECT label, d, AVG(x) AS c FROM dims GROUP BY label, d),
+dist AS (
+  SELECT dims.label, dims.vec_id,
+         SQRT(SUM((dims.x - cent.c) * (dims.x - cent.c))) AS dist
+  FROM dims JOIN cent ON dims.label = cent.label AND dims.d = cent.d
+  GROUP BY dims.label, dims.vec_id)
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(dist), 3) AS avg_dist,
+       ROUND(MAX(dist), 3) AS max_dist
+FROM dist GROUP BY label
+"""
+
+
+QUERIES = {
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_topk": q_embedding_topk,
+    "embedding_centroid_dist": q_embedding_centroid_dist,
+}
+
+ORACLE_SQL = {
+    "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_centroid_dist": SQL_EMBEDDING_CENTROID_DIST,
+}

@@ -1,0 +1,244 @@
+"""Text-analysis + deduplication queries over the `documents` table —
+the training-data-pipeline operator families (language-ID heuristics,
+quality scoring, token counting, fingerprinting, exact/MinHash/Jaccard
+dedup), each with a DuckDB oracle.  Same parity discipline as
+demo_queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .demo_queries import _t
+
+_STOPWORDS = ("the", "a", "of")
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_MARKERS = ("scan", "join", "window")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, alpha ratio, stopword ratio —
+    the documents-table analog of the clips CHAR_RATIO/length rules."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_alpha.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        ((n_tok >= 20) & (n_alpha.cast("double") / F.length("text") > 0.6))
+        .alias("quality_ok"))
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks,
+         LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CAST(n_alpha AS DOUBLE) / LENGTH(text), 6) AS alpha_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of')))
+                  AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       len(toks) >= 20 AND CAST(n_alpha AS DOUBLE) / LENGTH(text) > 0.6
+           AS quality_ok
+FROM t
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (letters / digit runs / punct singles)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+        .alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"))
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS n_bpe_tokens,
+       LENGTH(text) AS n_chars
+FROM documents
+"""
+
+
+def q_langid_marker(spark, sf_dir):
+    """Marker-frequency language-ID heuristic (count-occurrences via
+    length/replace arithmetic — exact in both engines) + agreement with the
+    table's lang column."""
+    d = _t(spark, sf_dir, "documents")
+    counts = [
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(m))))
+         / F.lit(len(m))).cast("long").alias(f"n_{m}")
+        for m in _MARKERS
+    ]
+    df = d.select("doc_id", "lang", *counts)
+    best = (F.when((F.col("n_scan") >= F.col("n_join"))
+                   & (F.col("n_scan") >= F.col("n_window")), "scan-ish")
+            .when(F.col("n_join") >= F.col("n_window"), "join-ish")
+            .otherwise("window-ish"))
+    return df.withColumn("marker_class", best) \
+        .select("doc_id", "lang", "n_scan", "n_join", "n_window", "marker_class")
+
+
+SQL_LANGID_MARKER = """
+WITH c AS (
+  SELECT doc_id, lang,
+         (LENGTH(text) - LENGTH(replace(text, 'scan', ''))) / 4 AS n_scan,
+         (LENGTH(text) - LENGTH(replace(text, 'join', ''))) / 4 AS n_join,
+         (LENGTH(text) - LENGTH(replace(text, 'window', ''))) / 6 AS n_window
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(n_scan AS BIGINT) AS n_scan,
+       CAST(n_join AS BIGINT) AS n_join,
+       CAST(n_window AS BIGINT) AS n_window,
+       CASE WHEN n_scan >= n_join AND n_scan >= n_window THEN 'scan-ish'
+            WHEN n_join >= n_window THEN 'join-ish'
+            ELSE 'window-ish' END AS marker_class
+FROM c
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalize-then-hash document fingerprint + collision groups."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[^a-zA-Z]", "")))
+    return (d.withColumn("fingerprint", fp)
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc")))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT md5(lower(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication families
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: canonical = min doc_id per md5(text)
+    (the documents-table analog of the clips EXACT_DUP rule)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("h", F.md5("text"))
+            .groupBy("h")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("canonical_doc"))
+            .where(F.col("n_copies") > 1))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: 4 md5-minhash signatures over the token set,
+    2 bands of 2 sigs each, report buckets with >1 doc (the shingle ->
+    minhash -> band -> bucket-join pipeline; md5 keeps both engines
+    bit-identical)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(F.array_distinct(
+        F.split(F.col("text"), r"\s+"))).alias("tok")))
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"s{i}")
+          for i in range(4)])
+    bands = sigs.select(
+        "doc_id",
+        F.md5(F.concat("s0", "s1")).alias("band_a"),
+        F.md5(F.concat("s2", "s3")).alias("band_b"))
+    stacked = (bands.select("doc_id", F.lit("a").alias("band_no"),
+                            F.col("band_a").alias("band_key"))
+               .unionByName(bands.select("doc_id", F.lit("b").alias("band_no"),
+                                         F.col("band_b").alias("band_key"))))
+    return (stacked.groupBy("band_no", "band_key")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc"))
+            .where(F.col("n_docs") > 1))
+
+
+SQL_DEDUP_MINHASH_LSH = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents),
+sigs AS (
+  SELECT doc_id,
+         MIN(md5(tok || '#0')) AS s0, MIN(md5(tok || '#1')) AS s1,
+         MIN(md5(tok || '#2')) AS s2, MIN(md5(tok || '#3')) AS s3
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 'a' AS band_no, md5(s0 || s1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b' AS band_no, md5(s2 || s3) AS band_key FROM sigs)
+SELECT band_no, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within each source bucket
+    (blocked self-join; the O(n^2) stays inside small blocks)."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source",
+                    F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size("a.toks") + F.size("b.toks") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.8))
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(text, '\s+')) AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM docs a JOIN docs b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "token_count_bpe": q_token_count_bpe,
+    "langid_marker": q_langid_marker,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLE_SQL = {
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "langid_marker": SQL_LANGID_MARKER,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+}

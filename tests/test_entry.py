@@ -1,0 +1,58 @@
+"""__spark_entry__ contract tests: entry() smoke + every queries() entry
+matches its oracle_sql() in DuckDB at sf0.001 (the driver's own gate,
+mirrored locally so regressions surface in `pytest -x -q`)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_entry import TABLES, _normalize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert list(pdf.columns) == ["doc_id", "lang", "source", "n_tokens",
+                                 "alpha_ratio", "keep", "drop_reason"]
+
+
+def test_every_query_has_callable_signature():
+    qs = entrymod.queries()
+    assert len(qs) >= 30
+    sqls = entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    # rows-only entries are exactly the clips ones (non-SQL-expressible)
+    assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
+                                   "clips_lineage"}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_query_matches_duckdb(spark, ddb, name):
+    got = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    exp = ddb.execute(entrymod.oracle_sql()[name]).fetchdf()
+    g, e = _normalize(got), _normalize(exp)
+    assert len(g) == len(e), f"{name}: rowcount {len(g)} vs {len(e)}"
+    assert list(g.columns) == list(e.columns)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ["clips_pipeline", "clips_decode",
+                                  "clips_lineage"])
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
