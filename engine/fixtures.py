@@ -124,8 +124,12 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
                    defect_rate: float = 0.015,
                    kept_rate: float = 0.015,
                    dup_rate: float = 0.01,
-                   with_audio: bool = True) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """-> (clips_df, planted_df).  clip_id lexicographic == generation order."""
+                   with_audio: bool = True,
+                   start_index: int = 0) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """-> (clips_df, planted_df).  clip_id lexicographic == generation order.
+
+    `start_index` offsets the clip-id space so large tables can be built
+    from independent seeded chunks with globally-unique, ordered ids."""
     rng = np.random.default_rng(seed)
     prof = PROFILES[profile]
 
@@ -144,7 +148,7 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
 
     rows, planted = [], []
     for i in range(n_clips):
-        clip_id = f"c{i:016x}"
+        clip_id = f"c{start_index + i:016x}"
         lang, codec, sr, dur = str(langs[i]), str(codecs[i]), int(srs[i]), int(durs[i])
         cls = str(classes[i])
         transcript = _clean_transcript(rng, lang, dur)
@@ -238,7 +242,7 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
     n_exact = max(1, int(base_n * dup_rate / 2)) if dup_rate > 0 else 0
     n_near = max(1, int(base_n * dup_rate / 2)) if dup_rate > 0 else 0
     clean_idx = [k for k in range(base_n) if planted[k][1] == "clean"]
-    nxt = base_n
+    nxt = start_index + base_n
     if clean_idx and n_exact:
         for src in rng.choice(clean_idx, size=min(n_exact, len(clean_idx)), replace=False):
             s = rows[int(src)]

@@ -53,9 +53,12 @@ def with_dup_flags(scored: DataFrame) -> DataFrame:
     f_audio = F.when(has_payload,
                      F.col("clip_id") != min_audio).otherwise(F.lit(False))
 
+    # audio window FIRST: hash-partitioning by pcm_checksum also satisfies
+    # the (pcm_checksum, transcript) clustering, so Catalyst plans ONE
+    # exchange + two sorts instead of two exchanges
     df = (scored
-          .withColumn("f_" + config.RULE_EXACT_DUP, f_exact)
-          .withColumn("_f_audio_dup", f_audio))
+          .withColumn("_f_audio_dup", f_audio)
+          .withColumn("f_" + config.RULE_EXACT_DUP, f_exact))
 
     # --- SimHash band self-join (candidates exact for hamming <= 3) -------
     cand = (df

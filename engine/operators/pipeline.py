@@ -13,6 +13,7 @@ projection into a single stage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from .. import schema
 from . import decision, dedup, heuristics, scoring
@@ -29,9 +30,21 @@ def read_clips(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def run_pipeline(clips: DataFrame) -> DataFrame:
-    """clips (schema.CLIPS_SCHEMA) -> labels (schema.LABELS_SCHEMA order)."""
+def run_pipeline(clips: DataFrame, persist: bool = True) -> DataFrame:
+    """clips (schema.CLIPS_SCHEMA) -> labels (schema.LABELS_SCHEMA order).
+
+    `persist` pins the scored table (which no longer carries `bytes`, so it
+    is ~100 bytes/row): the dedup stage references it from three plan
+    branches (main + both sides of the band self-join), and without a
+    materialization Spark re-executes the expensive Python UDF subtree once
+    per branch.  The checkpointed job gets the same effect from the stage-A
+    parquet materialization instead (lineage.run_checkpointed)."""
     scored = scoring.score_clips(clips)
+    if persist:
+        # eager: parallel dedup branches of one action would otherwise race
+        # on the unfilled cache and re-execute the UDF subtree per branch
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        scored.count()
     flagged = heuristics.with_model_flags(heuristics.with_heuristic_flags(scored))
     with_dups = dedup.with_dup_flags(flagged)
     decided = decision.with_decision(with_dups)

@@ -1,0 +1,83 @@
+"""Physical-plan assertions (SURVEY §7.7): broadcasts actually broadcast,
+filters reach the scan, the payload column never travels past the scoring
+UDF, and the fused pass keeps exactly one Python crossing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.operators import dedup, heuristics, pipeline, scoring
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["join_broadcast_dim"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" \
+        in plan or "GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: scan must read only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_scoring_consumes_bytes(spark, clips_t1):
+    """`bytes` must not appear downstream of the scoring UDF."""
+    path, _, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    scored = scoring.score_clips(clips)
+    assert "bytes" not in scored.columns
+    labels = pipeline.run_pipeline(clips, persist=False)
+    assert "bytes" not in labels.columns
+
+
+def test_single_python_crossing_before_dedup(spark, clips_t1):
+    """Scoring stage = exactly one MapInPandas (fused UDF)."""
+    path, _, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    scored = scoring.score_clips(clips)
+    flagged = heuristics.with_model_flags(heuristics.with_heuristic_flags(scored))
+    assert _plan(flagged).count("MapInPandas") == 1
+    # heuristic flags are JVM-side: no extra python eval operators
+    assert "BatchEvalPython" not in _plan(flagged)
+    assert "ArrowEvalPython" not in _plan(flagged)
+
+
+def test_dedup_windows_share_one_exchange(spark, clips_t1):
+    """Audio-key window partitioning must satisfy the exact-dup window's
+    clustering: one exchange for both windows, not two."""
+    path, _, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    scored = scoring.score_clips(clips).persist()
+    out = dedup.with_dup_flags(scored)
+    plan = _plan(out)
+    # exchanges: one for the window pair, plus the band-join distribution
+    n_window_exchanges = plan.count("hashpartitioning(pcm_checksum")
+    assert n_window_exchanges == 1, plan[:2000]
+    scored.unpersist()
+
+
+def test_partition_pruning_on_part_id(spark, clips_t1):
+    path, _, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    pruned = clips.where(F.col("part_id") == 3)
+    plan = _plan(pruned)
+    assert "PartitionFilters: [isnotnull(part_id" in plan
+    assert "= 3)" in plan
+    # the predicate must be a partition filter, not a post-scan data filter
+    assert "DataFilters: []" in plan
