@@ -27,7 +27,9 @@ def _clips_path(spark: SparkSession) -> str:
     if "path" not in _CLIPS_CACHE:
         from engine import fixtures
 
-        path = os.path.join(tempfile.gettempdir(), "spark_graft_clips_entry")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_clips_entry_v{fixtures.FIXTURES_VERSION}")
         marker = os.path.join(path, "_SUCCESS")
         if not os.path.exists(marker):
             clips_pd, _ = fixtures.generate_clips(800, seed=42, profile="test")
@@ -56,7 +58,8 @@ def _q_clips_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = pipeline.read_clips(spark, _clips_path(spark))
     scored = scoring.score_clips(clips)
     return scored.select("clip_id", "decoded_dur_ms", "n_samples",
-                         "rms", "clipping_ratio", "pcm_checksum")
+                         "rms", "clipping_ratio", "silence_ratio",
+                         "spectral_flatness", "mel_profile", "pcm_checksum")
 
 
 def _q_clips_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +71,35 @@ def _q_clips_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = decision.lineage_metrics(labels)
     return m.select("part_id", "status", "n_total", "n_kept", "n_dropped",
                     "n_scrubbed", "rule_version")
+
+
+def _q_clips_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step6-graft corpus evaluation: per-language keep/drop/scrub report
+    via the salted two-phase aggregation (rows-only)."""
+    from engine.operators import evaluation, pipeline
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    labels = pipeline.run_pipeline(clips)
+    return evaluation.corpus_report(labels).drop("drop_reason_counts")
+
+
+def _q_clips_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest: same fused per-clip pipeline applied
+    per micro-batch (availableNow), labels appended via the file-sink
+    commit log (rows-only; exact per-batch semantics gated in
+    tests/test_streaming.py)."""
+    import shutil
+
+    from engine.streaming import stream_pipeline
+
+    src = _clips_path(spark)
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_stream_entry")
+    shutil.rmtree(out, ignore_errors=True)
+    q = stream_pipeline.start_stream(
+        spark, src, f"{out}/data", f"{out}/ckpt", available_now=True)
+    q.awaitTermination()
+    labels = spark.read.parquet(f"{out}/data/labels")
+    return labels.select("clip_id", "part_id", "keep", "drop_reason", "lang")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -106,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clips_pipeline"] = _q_clips_pipeline
     out["clips_decode"] = _q_clips_decode
     out["clips_lineage"] = _q_clips_lineage
+    out["clips_stream_ingest"] = _q_clips_stream_ingest
+    out["clips_eval_report"] = _q_clips_eval_report
     return out
 
 

@@ -65,6 +65,16 @@ CHARS_PER_SEC_MAX = 50.0
 # recomputed after merges, Step5-Attribute-Redundancy.R:47-55).
 DUR_MISMATCH_FRAC = 0.10
 
+# Silence rule: the audio graft of the reference's stay-point/stationary
+# detection (an episode whose trajectory doesn't move,
+# Step4-Spatial-Inconsistency.R:5-49 adjacent-distance scan ~ a clip whose
+# frames carry no signal energy).  A 25 ms frame is "silent" when its rms
+# is below SILENCE_FRAME_RMS of full scale; the clip drops when more than
+# SILENCE_RATIO_MAX of its frames are silent.  The synthetic clean corpus
+# carries a >= 0.005 noise floor, so the frame threshold has >5x margin.
+SILENCE_FRAME_RMS = 0.001
+SILENCE_RATIO_MAX = 0.9
+
 # ---------------------------------------------------------------------------
 # Model-score thresholds (graft of the mixture-model-derived cutoffs, §2.9)
 # ---------------------------------------------------------------------------
@@ -108,6 +118,7 @@ RULE_TXT_EMPTY = "TXT_EMPTY"
 RULE_TXT_LEN = "TXT_LEN"
 RULE_CHAR_RATIO = "CHAR_RATIO"
 RULE_DUR_MISMATCH = "DUR_MISMATCH"
+RULE_SILENCE = "SILENCE"
 RULE_LID_LOWCONF = "LID_LOWCONF"
 RULE_HIGH_PPL = "HIGH_PPL"
 RULE_TOXIC = "TOXIC"
@@ -122,6 +133,7 @@ RULE_ORDER = (
     RULE_TXT_LEN,
     RULE_CHAR_RATIO,
     RULE_DUR_MISMATCH,
+    RULE_SILENCE,
     RULE_LID_LOWCONF,
     RULE_HIGH_PPL,
     RULE_TOXIC,
@@ -148,6 +160,7 @@ def rule_version() -> str:
         DUR_MS_MIN, DUR_MS_MAX, SR_ALLOWLIST, sorted(CODEC_ALIASES.items()),
         CODEC_ALLOWLIST, TXT_LEN_MIN, TXT_LEN_MAX, ALPHA_RATIO_MIN,
         CHARS_PER_SEC_MIN, CHARS_PER_SEC_MAX, DUR_MISMATCH_FRAC,
+        SILENCE_FRAME_RMS, SILENCE_RATIO_MAX,
         LID_MARGIN_MIN, PPL_MAX, SIMHASH_BANDS, SIMHASH_BAND_BITS,
         SIMHASH_HAMMING_MAX, SIMHASH_SHINGLE_K, RULE_ORDER, N_PARTS,
     )).encode()

@@ -138,14 +138,145 @@ FROM dist GROUP BY label
 """
 
 
+def _cos(a_col, b_col):
+    dot = F.aggregate(F.zip_with(a_col, b_col, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def q_embedding_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: random-hyperplane LSH bucket
+    as the blocking key, then exact cosine on within-bucket pairs.  At
+    scale the bucket id is the shuffle key, so the self-join never goes
+    quadratic; the 0.35 floor keeps only candidate pairs a rescreen pass
+    would verify (this synthetic table plants no true near-dups — max
+    pairwise cosine ~0.51 — so the floor sits where candidates exist)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(_dot(F.col("embedding"), _plane(p)) >= 0, 1 << p).otherwise(0)
+         for p in range(N_PLANES)), F.lit(0))
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, c = b.alias("a"), b.alias("c")
+    cos = F.round(_cos(F.col("a.embedding"), F.col("c.embedding")), 3)
+    return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("c.vec_id").alias("vec_b"),
+                    cos.alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.35))
+
+
+def _sql_neardup() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', _plane(p))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES))
+    cos = ("list_dot_product(a.embedding, c.embedding) / "
+           "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+           "sqrt(list_dot_product(c.embedding, c.embedding)))")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({cos}, 3) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND({cos}, 3) >= 0.35
+"""
+
+
+SQL_EMBEDDING_NEARDUP_COSINE = _sql_neardup()
+
+N_QUERIES_IVF = 5
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: build the coarse index (per-label mean centroids, one
+    agg), assign every vector to its nearest centroid cell (broadcast cross
+    against the tiny centroid set), then answer the query set (vec_id <
+    5) by exact cosine top-3 *within the query's cell only* — the
+    IVF probe path.  Cells ~ K << N, so assignment is a broadcast
+    nested-loop over K and the probe join shuffles on cell id."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    by_dim = e.select("label", F.posexplode("embedding").alias("d", "x"))
+    centroids = (by_dim.groupBy("label", "d").agg(F.avg("x").alias("c"))
+                 .groupBy("label")
+                 .agg(F.array_sort(F.collect_list(F.struct("d", "c")))
+                      .alias("pairs"))
+                 .select(F.col("label").alias("cell"),
+                         F.expr("transform(pairs, p -> p.c)").alias("centroid")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("centroid"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    assigned = (e.crossJoin(F.broadcast(centroids))
+                .withColumn("dist", dist)
+                .withColumn("rk", F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("dist", "cell")))
+                .where(F.col("rk") == 1)
+                .select("vec_id", "embedding", "cell"))
+    q = (assigned.where(F.col("vec_id") < N_QUERIES_IVF)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"), "cell"))
+    cand = assigned.select(F.col("vec_id").alias("cand_id"),
+                           F.col("embedding").alias("cv"), "cell")
+    cos = F.round(_cos(F.col("qv"), F.col("cv")), 3)
+    scored = (q.join(cand, "cell")
+              .where(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id", cos.alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("query_id", "rank", "cand_id", "cos_sim"))
+
+
+SQL_ANN_IVF = f"""
+WITH dims AS (
+  SELECT label, vec_id, embedding[CAST(t.i AS INT)] AS x, t.i AS d
+  FROM embeddings, RANGE(1, 65) t(i)),
+cent AS (
+  SELECT label AS cell, d, AVG(x) AS c FROM dims GROUP BY label, d),
+d2 AS (
+  SELECT dims.vec_id, cent.cell,
+         SQRT(SUM((dims.x - cent.c) * (dims.x - cent.c))) AS dist
+  FROM dims JOIN cent ON dims.d = cent.d
+  GROUP BY dims.vec_id, cent.cell),
+assigned AS (
+  SELECT d2.vec_id, e.embedding, d2.cell,
+         ROW_NUMBER() OVER (PARTITION BY d2.vec_id
+                            ORDER BY d2.dist, d2.cell) AS rk
+  FROM d2 JOIN embeddings e ON d2.vec_id = e.vec_id),
+cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rk = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))), 3)
+           AS cos_sim
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES_IVF}),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, cand_id, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_topk": q_embedding_topk,
     "embedding_centroid_dist": q_embedding_centroid_dist,
+    "embedding_neardup_cosine": q_embedding_neardup_cosine,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLE_SQL = {
     "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_centroid_dist": SQL_EMBEDDING_CENTROID_DIST,
+    "embedding_neardup_cosine": SQL_EMBEDDING_NEARDUP_COSINE,
+    "ann_ivf": SQL_ANN_IVF,
 }

@@ -223,8 +223,74 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def _simhash_bit(j: int):
+    """Bit j (0..15) of md5(tok), via hex-digit position arithmetic that is
+    expressible identically in Spark SQL and DuckDB (no engine-specific
+    integer-conv function needed)."""
+    hexpos = j // 4 + 1
+    div = 1 << (3 - (j % 4))
+    v = F.expr(f"instr('0123456789abcdef', substr(md5(tok), {hexpos}, 1)) - 1")
+    return (F.floor(v / F.lit(div)).cast("bigint") % 2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit simhash over the distinct-token set
+    (per-bit +1/-1 vote weighted by token presence), split into two 8-bit
+    half-bands; report half-band buckets holding >1 doc (the candidate
+    set a verify pass would rescreen).  At 10^12 rows the band key is the
+    shuffle key and each bucket stays small — same scale shape as the
+    clips near-dup stage (engine/operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(
+        F.split(F.col("text"), r"\s+"))).alias("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(F.when(_simhash_bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
+          for j in range(16)])
+    sh = sums.select("doc_id", F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+          for j in range(16)]).alias("simhash"))
+    bands = (sh.select("doc_id", F.lit("hi").alias("band_no"),
+                       F.substring("simhash", 1, 8).alias("band_key"))
+             .unionByName(sh.select("doc_id", F.lit("lo").alias("band_no"),
+                                    F.substring("simhash", 9, 8).alias("band_key"))))
+    return (bands.groupBy("band_no", "band_key")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc"))
+            .where(F.col("n_docs") > 1))
+
+
+def _sql_simhash() -> str:
+    bits = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        div = 1 << (3 - (j % 4))
+        bits.append(
+            f"SUM(CASE WHEN (CAST(FLOOR((strpos('0123456789abcdef', "
+            f"substr(md5(tok), {hexpos}, 1)) - 1) / {div}.0) AS BIGINT) % 2) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}")
+    simhash = "||".join(
+        f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents),
+sums AS (SELECT doc_id, {', '.join(bits)} FROM toks GROUP BY doc_id),
+sh AS (SELECT doc_id, {simhash} AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, 'hi' AS band_no, substr(simhash, 1, 8) AS band_key FROM sh
+  UNION ALL
+  SELECT doc_id, 'lo' AS band_no, substr(simhash, 9, 8) AS band_key FROM sh)
+SELECT band_no, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
 QUERIES = {
     "text_quality": q_text_quality,
+    "dedup_simhash": q_dedup_simhash,
     "token_count_bpe": q_token_count_bpe,
     "langid_marker": q_langid_marker,
     "doc_fingerprint": q_doc_fingerprint,
@@ -235,6 +301,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "langid_marker": SQL_LANGID_MARKER,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

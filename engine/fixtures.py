@@ -29,8 +29,13 @@ SR_WEIGHTS = {16000: 0.70, 8000: 0.10, 22050: 0.08, 44100: 0.07, 48000: 0.05}
 DIRTY_CODEC_VARIANTS = {"mp3": ["MP3", "mpeg3"], "flac": ["Flac ", " FLAC"],
                         "pcm_s16le": ["PCM", "wav"], "opus": ["OPUS", "ogg_opus"]}
 
+# bump whenever generation logic changes: cached fixture tables on disk are
+# keyed by (n, seed, FIXTURES_VERSION) so stale caches regenerate
+FIXTURES_VERSION = 2
+
 DEFECT_CLASSES = [
     "DUR_BOUNDS", "SR_INVALID", "CODEC_INVALID", "DUR_MISMATCH",
+    "SILENT_AUDIO",
     "TXT_EMPTY", "TXT_LEN", "CHAR_RATIO", "LID_MISMATCH", "HIGH_PPL",
     "TOXIC_SEVERE",
 ]
@@ -91,6 +96,23 @@ def _synth_pcm(rng: np.random.Generator, sr: int, n_samples: int) -> bytes:
     sig += rng.uniform(-0.01, 0.01, size=n_samples).astype(np.float32)
     np.clip(sig, -0.999, 0.999, out=sig)
     return (sig * 32767.0).astype("<i2").tobytes()
+
+
+def _synth_silent_pcm(rng: np.random.Generator, sr: int, n_samples: int) -> bytes:
+    """Near-silent payload for the SILENT_AUDIO defect class: +-3 LSB noise
+    (frame rms ~5e-5 of full scale, 20x under SILENCE_FRAME_RMS).  25% of
+    cases carry one short tone burst (~2% of samples) so the planted
+    silence_ratio spans [0.95, 1.0] — strictly above SILENCE_RATIO_MAX."""
+    if n_samples <= 0:
+        return b""
+    sig = rng.integers(-3, 4, size=n_samples).astype(np.float32)
+    if rng.random() < 0.25 and n_samples > 400:
+        blen = max(50, int(n_samples * 0.02))
+        pos = int(rng.integers(0, n_samples - blen))
+        t = np.arange(blen, dtype=np.float32) / float(max(sr, 1))
+        sig[pos:pos + blen] += 8000.0 * np.sin(
+            2 * np.pi * float(rng.uniform(200.0, 1000.0)) * t)
+    return np.clip(sig, -32767, 32767).astype("<i2").tobytes()
 
 
 def _clean_transcript(rng: np.random.Generator, lang: str, dur_ms: int) -> str:
@@ -163,6 +185,8 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
             codec = str(rng.choice(["xvc9", "", "av1aud", "codec?"]))
         elif cls == "DUR_MISMATCH":
             pcm_factor = float(rng.choice([0.5, 0.8, 1.3, 2.0]))
+        elif cls == "SILENT_AUDIO":
+            pass  # payload replaced below; metadata/transcript stay clean
         elif cls == "TXT_EMPTY":
             transcript = str(rng.choice(["", "   ", "\t \n"]))
         elif cls == "TXT_LEN":
@@ -232,7 +256,12 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
             max(dur, 500), 2000) if dur > 0 else 500
         n_samples = int(round(synth_sr * nominal_ms / 1000.0 * pcm_factor))
         n_samples = min(n_samples, synth_sr * 300)  # hard cap 5 min
-        payload = _synth_pcm(rng, synth_sr, n_samples) if with_audio else None
+        if not with_audio:
+            payload = None
+        elif cls == "SILENT_AUDIO":
+            payload = _synth_silent_pcm(rng, synth_sr, n_samples)
+        else:
+            payload = _synth_pcm(rng, synth_sr, n_samples)
 
         rows.append((clip_id, payload, sr, dur, codec, transcript))
         planted.append((clip_id, cls, lang))
@@ -273,7 +302,8 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
     return clips, planted_df
 
 
-def write_clips_parquet(spark, clips_pd: pd.DataFrame, path: str) -> None:
+def write_clips_parquet(spark, clips_pd: pd.DataFrame, path: str,
+                        mode: str = "overwrite") -> None:
     """Stamp part_id = pmod(xxhash64(clip_id), N_PARTS) with Spark (so it is
     bit-identical to the engine's partitioner) and write partitioned parquet
     (the Iceberg-layout fallback, SURVEY.md §7.0)."""
@@ -286,4 +316,4 @@ def write_clips_parquet(spark, clips_pd: pd.DataFrame, path: str) -> None:
     base = spark.createDataFrame(clips_pd, schema=input_schema)
     df = base.withColumn(
         "part_id", F.pmod(F.xxhash64("clip_id"), F.lit(config.N_PARTS)).cast("int"))
-    df.repartition("part_id").write.mode("overwrite").partitionBy("part_id").parquet(path)
+    df.repartition("part_id").write.mode(mode).partitionBy("part_id").parquet(path)

@@ -18,7 +18,7 @@ LABEL_COLUMNS = [
     "clip_id", "part_id", "keep", "drop_reason", "rule_flags",
     "lang", "lid_margin", "ppl_score",
     "scrubbed_transcript", "n_scrub_hits",
-    "decoded_dur_ms", "rms", "clipping_ratio", "pcm_checksum",
+    "decoded_dur_ms", "rms", "clipping_ratio", "silence_ratio", "pcm_checksum",
 ]
 
 

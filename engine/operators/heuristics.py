@@ -100,12 +100,19 @@ def with_model_flags(df: DataFrame) -> DataFrame:
            > config.DUR_MISMATCH_FRAC),
     ).otherwise(F.lit(False))
 
+    # SILENCE: frame-level no-signal detection (graft of the stay-point/
+    # stationary-episode scan, Step4-Spatial-Inconsistency.R:5-49); only
+    # fires when the payload decoded far enough to yield frame features
+    f_silence = F.coalesce(
+        F.col("silence_ratio") > config.SILENCE_RATIO_MAX, F.lit(False))
+
     f_lid = F.col("lid_margin") < config.LID_MARGIN_MIN
     f_ppl = F.col("ppl_score") > config.PPL_MAX
     f_tox = F.col("tox_severe")
 
     return (df
             .withColumn("f_" + config.RULE_DUR_MISMATCH, f_mismatch)
+            .withColumn("f_" + config.RULE_SILENCE, f_silence)
             .withColumn("f_" + config.RULE_LID_LOWCONF, f_lid)
             .withColumn("f_" + config.RULE_HIGH_PPL, f_ppl)
             .withColumn("f_" + config.RULE_TOXIC, f_tox))

@@ -45,6 +45,9 @@ SCORED_FIELDS = [
     T.StructField("rms", T.DoubleType(), True),
     T.StructField("clipping_ratio", T.DoubleType(), True),
     T.StructField("pcm_checksum", T.StringType(), True),
+    T.StructField("silence_ratio", T.DoubleType(), True),
+    T.StructField("spectral_flatness", T.DoubleType(), True),
+    T.StructField("mel_profile", T.ArrayType(T.FloatType()), True),
     T.StructField("scrubbed_transcript", T.StringType(), True),
     T.StructField("n_scrub_hits", T.IntegerType(), False),
     T.StructField("tox_severe", T.BooleanType(), False),
@@ -66,11 +69,15 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     rms = [None] * n
     clip_ratio = [None] * n
     checksum = [None] * n
+    silence = [None] * n
+    flatness = [None] * n
+    mel = [None] * n
     for i, (payload, sr) in enumerate(zip(pdf["bytes"], pdf["sr_hz"])):
         sr_i = int(sr) if pd.notna(sr) else None
-        d, ns, r, cr, ck = audio_core.features(
-            bytes(payload) if payload is not None else None, sr_i)
+        p = bytes(payload) if payload is not None else None
+        d, ns, r, cr, ck = audio_core.features(p, sr_i)
         dec_dur[i], n_samp[i], rms[i], clip_ratio[i], checksum[i] = d, ns, r, cr, ck
+        silence[i], flatness[i], mel[i] = audio_core.frame_features(p, sr_i)
 
     transcripts = pdf["transcript"].tolist()
     scrubbed, hits, severe = scrub_core.scrub_batch(transcripts)
@@ -96,6 +103,9 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "rms": pd.array(rms, dtype="Float64"),
         "clipping_ratio": pd.array(clip_ratio, dtype="Float64"),
         "pcm_checksum": checksum,
+        "silence_ratio": pd.array(silence, dtype="Float64"),
+        "spectral_flatness": pd.array(flatness, dtype="Float64"),
+        "mel_profile": mel,
         "scrubbed_transcript": scrubbed,
         "n_scrub_hits": pd.array(hits, dtype="int32"),
         "tox_severe": severe,

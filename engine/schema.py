@@ -34,6 +34,7 @@ LABELS_SCHEMA = T.StructType([
     T.StructField("decoded_dur_ms", T.IntegerType(), nullable=True),
     T.StructField("rms", T.DoubleType(), nullable=True),
     T.StructField("clipping_ratio", T.DoubleType(), nullable=True),
+    T.StructField("silence_ratio", T.DoubleType(), nullable=True),
     T.StructField("pcm_checksum", T.StringType(), nullable=True),
 ])
 

@@ -70,6 +70,11 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
                         or abs(dec_dur - dur) / dur > config.DUR_MISMATCH_FRAC)
         flags[config.RULE_DUR_MISMATCH] = mismatch
 
+        silence_ratio, _flatness, _mel = audio_core.frame_features(payload, sr)
+        flags[config.RULE_SILENCE] = (
+            silence_ratio is not None
+            and silence_ratio > config.SILENCE_RATIO_MAX)
+
         scrubbed, n_hits, severe = scrub_core.scrub(t)
         lang, margin = lid_core.score_text(scrubbed or "")
         ppl = ppl_core.perplexity(scrubbed or "", lang)
@@ -84,6 +89,7 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
             "flags": flags, "scrubbed": scrubbed, "n_hits": n_hits,
             "lang": lang, "margin": margin, "ppl": ppl,
             "dec_dur": dec_dur, "rms": rms, "clip_ratio": clip_ratio,
+            "silence_ratio": silence_ratio,
         }
 
     # ---- duplicate groups (global, order-explicit) -----------------------
@@ -141,6 +147,7 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
             "decoded_dur_ms": p["dec_dur"],
             "rms": p["rms"],
             "clipping_ratio": p["clip_ratio"],
+            "silence_ratio": p["silence_ratio"],
             "pcm_checksum": p["checksum"],
         })
 

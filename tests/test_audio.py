@@ -63,3 +63,36 @@ def test_odd_length_payload_truncates():
 def test_compressed_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         audio_core.decode_compressed(b"xx", "opus")
+
+
+def test_frame_features_tone_vs_silence():
+    sr = 16000
+    ref = _tone(sr, 1.0, 440.0, 0.3)
+    payload = (ref * 32767.0).astype("<i2").tobytes()
+    sil, flat, mel = audio_core.frame_features(payload, sr)
+    assert sil == 0.0                      # a 0.3-amplitude tone is never silent
+    assert flat is not None and flat < 0.5  # tonal -> low flatness
+    assert isinstance(mel, list) and len(mel) == audio_core.N_MELS
+
+    quiet = np.zeros(sr, dtype="<i2").tobytes()
+    sil2, flat2, mel2 = audio_core.frame_features(quiet, sr)
+    assert sil2 == 1.0
+    assert len(mel2) == audio_core.N_MELS
+
+
+def test_frame_features_partial_silence():
+    sr = 16000
+    sig = np.zeros(sr, dtype=np.float32)
+    sig[: sr // 10] = _tone(sr, 0.1, 300.0, 0.5)  # first 10% loud
+    payload = (sig * 32767.0).astype("<i2").tobytes()
+    sil, _, _ = audio_core.frame_features(payload, sr)
+    assert 0.7 < sil < 0.95
+
+
+def test_frame_features_degenerate():
+    assert audio_core.frame_features(None, 16000) == (None, None, None)
+    assert audio_core.frame_features(b"\x00\x01", 16000) == (None, None, None)
+    # invalid sr falls back to FALLBACK_SR geometry, still defined
+    payload = np.zeros(16000, dtype="<i2").tobytes()
+    sil, flat, mel = audio_core.frame_features(payload, -1)
+    assert sil == 1.0 and len(mel) == audio_core.N_MELS

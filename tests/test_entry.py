@@ -38,7 +38,8 @@ def test_every_query_has_callable_signature():
     assert set(sqls) <= set(qs)
     # rows-only entries are exactly the clips ones (non-SQL-expressible)
     assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
-                                   "clips_lineage"}
+                                   "clips_lineage", "clips_stream_ingest",
+                                   "clips_eval_report"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))

@@ -113,19 +113,25 @@ def test_model_flag_dur_mismatch(spark):
         T.StructField("sr_hz", T.IntegerType()),
         T.StructField("dur_ms", T.IntegerType()),
         T.StructField("decoded_dur_ms", T.IntegerType()),
+        T.StructField("silence_ratio", T.DoubleType()),
         T.StructField("lid_margin", T.DoubleType()),
         T.StructField("ppl_score", T.DoubleType()),
         T.StructField("tox_severe", T.BooleanType()),
     ])
     df = spark.createDataFrame([
-        ("exact", 16000, 1000, 1000, 1.0, 10.0, False),
-        ("within", 16000, 1000, 1099, 1.0, 10.0, False),
-        ("over", 16000, 1000, 1101, 1.0, 10.0, False),
-        ("missing", 16000, 1000, None, 1.0, 10.0, False),
-        ("bad_sr", 12345, 1000, None, 1.0, 10.0, False),  # SR rule's problem
+        ("exact", 16000, 1000, 1000, 0.0, 1.0, 10.0, False),
+        ("within", 16000, 1000, 1099, 0.0, 1.0, 10.0, False),
+        ("over", 16000, 1000, 1101, 0.0, 1.0, 10.0, False),
+        ("missing", 16000, 1000, None, None, 1.0, 10.0, False),
+        ("bad_sr", 12345, 1000, None, None, 1.0, 10.0, False),  # SR rule's problem
+        ("silent", 16000, 1000, 1000, 0.97, 1.0, 10.0, False),
+        ("part_silent", 16000, 1000, 1000, 0.5, 1.0, 10.0, False),
     ], schema)
     f = heuristics.with_model_flags(df).toPandas().set_index("clip_id")
     col = "f_" + config.RULE_DUR_MISMATCH
     assert not f.loc["exact", col] and not f.loc["within", col]
     assert f.loc["over", col] and f.loc["missing", col]
     assert not f.loc["bad_sr", col]
+    sil = "f_" + config.RULE_SILENCE
+    assert f.loc["silent", sil]
+    assert not f.loc["part_silent", sil] and not f.loc["missing", sil]
