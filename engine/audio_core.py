@@ -127,18 +127,29 @@ def frame_features(payload: bytes | None, sr_hz: int | None):
     hop = (sr * HOP_MS) // 1000
     if pcm.size < flen or flen <= 0 or hop <= 0:
         return None, None, None
-    nfr = 1 + (pcm.size - flen) // hop
-    idx = np.arange(flen)[None, :] + hop * np.arange(nfr)[:, None]
-    fr = pcm[idx].astype(np.float32) / np.float32(INT16_FULL_SCALE)
-    en = np.sqrt(np.mean(fr * fr, axis=1))
+
+    # energy at HOP_MS granularity: strided view (no frame-gather copy),
+    # einsum accumulation in float32
+    x = pcm.astype(np.float32)
+    fr = np.lib.stride_tricks.sliding_window_view(x, flen)[::hop]
+    nfr = fr.shape[0]
+    en = (np.sqrt(np.einsum("ij,ij->i", fr, fr) / flen)
+          / np.float32(INT16_FULL_SCALE))
     silence_ratio = float(np.count_nonzero(en < config.SILENCE_FRAME_RMS) / nfr)
 
+    # spectral summary at FRAME_MS granularity (non-overlapping frames —
+    # silence needs the fine hop, the clip-level spectral profile doesn't),
+    # zero-padded to the next power of two so rfft stays on the fast path
+    # for every sample rate (44.1 kHz frames are 1102 = 2*19*29 samples)
+    nsp = pcm.size // flen
+    sp = x[: nsp * flen].reshape(nsp, flen)
     key = (sr, flen)
     if key not in _FB_CACHE:
-        _FB_CACHE[key] = (_mel_filterbank(sr, flen),
-                          np.hanning(flen).astype(np.float32))
-    fb, win = _FB_CACHE[key]
-    spec = np.abs(np.fft.rfft(fr * win, axis=1)).astype(np.float32)
+        nfft = 1 << (flen - 1).bit_length()
+        _FB_CACHE[key] = (_mel_filterbank(sr, nfft),
+                          np.hanning(flen).astype(np.float32), nfft)
+    fb, win, nfft = _FB_CACHE[key]
+    spec = np.abs(np.fft.rfft(sp * win, n=nfft, axis=1)).astype(np.float32)
     flat = float(np.mean(
         np.exp(np.mean(np.log(spec + 1e-9), axis=1))
         / (np.mean(spec, axis=1) + 1e-9)))

@@ -199,8 +199,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size("a.toks") + F.size("b.toks") - inter
     jac = inter.cast("double") / union.cast("double")
+    # size prefilter IMPLIED by jaccard >= 0.8 (|A∩B| <= min sizes, so
+    # jac >= 0.8 forces 5*|A| >= 4*|B| and vice versa): prunes most pairs
+    # before the O(|A|+|B|) intersect — results provably unchanged, and the
+    # same predicate appears in the oracle SQL
+    size_ok = ((F.size("a.toks") * 5 >= F.size("b.toks") * 4)
+               & (F.size("b.toks") * 5 >= F.size("a.toks") * 4))
     return (a.join(b, (F.col("a.source") == F.col("b.source"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(size_ok)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.round(jac, 6).alias("jaccard"))
@@ -218,7 +225,9 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              6) AS jaccard
 FROM docs a JOIN docs b
   ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+WHERE len(a.toks) * 5 >= len(b.toks) * 4
+  AND len(b.toks) * 5 >= len(a.toks) * 4
+  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
 """
 
