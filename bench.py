@@ -184,20 +184,33 @@ def run_level(cpus: int, n_clips: int, repeats: int = 3) -> dict:
     return {"cpus": cpus, "n_clips": n_clips, "runs": results, **best}
 
 
-def run_scaling(levels: list[int], n_clips: int) -> dict:
+def run_scaling(levels: list[int], n_clips: int, rounds: int = 2) -> dict:
     # pre-generate the table once so no level pays generation cost
     spark = _build_spark(4, n_clips)
     _clips_table(spark, n_clips)
     spark.stop()
 
+    # interleave the levels across rounds: host noise on this box swings
+    # single measurements by >2x on a minutes timescale, so measuring each
+    # level in one contiguous block can hand one level a quiet window and
+    # the other a loud one; alternating blocks + best-of gives both levels
+    # a shot at the quiet windows
+    all_runs: dict[int, list] = {lv: [] for lv in levels}
+    for r in range(rounds):
+        order = sorted(levels, reverse=(r % 2 == 1))
+        for lv in order:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--level", str(lv), "--n-clips", str(n_clips)],
+                capture_output=True, text=True, check=True, cwd=REPO)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            all_runs[lv].extend(json.loads(line)["runs"])
+
     out = {}
     for lv in levels:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"),
-             "--level", str(lv), "--n-clips", str(n_clips)],
-            capture_output=True, text=True, check=True, cwd=REPO)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[lv] = json.loads(line)
+        best = min(all_runs[lv], key=lambda x: x["sec"])
+        out[lv] = {"cpus": lv, "n_clips": n_clips,
+                   "runs": all_runs[lv], **best}
 
     lo, hi = min(levels), max(levels)
     t_lo, t_hi = out[lo]["sec"], out[hi]["sec"]
@@ -233,14 +246,14 @@ def _write_baseline_md(report: dict, n_clips: int) -> None:
         "executor node brings its own), while 4->16 measures ~3.8x of 4x.  The",
         f"levels local[{keys[0]}] vs local[{keys[-1]}] sit inside the window",
         "where the box's own limits are not the binding constraint, so the",
-        "measurement reflects the engine.  Timings are best-of-3 per level in",
-        "a fresh JVM to shed host-noise outliers.",
+        "measurement reflects the engine.",
         "",
         f"Input: deterministic synthetic clips table, {n_clips} clips with raw",
         f"PCM payloads (engine/fixtures.py, profile='bench', seed={BENCH_SEED}).",
         "Timed span: fused pass scan -> heuristics || decode+LID+perplexity UDF",
         "-> scrub -> near-dup -> decision -> labels (noop sink, no driver collect).",
-        "Best of 3 runs per level, fresh JVM per level.",
+        "Levels measured in interleaved rounds (2-8-8-2 ordering) so host-noise",
+        "windows hit both levels alike; best run per level, fresh JVM per block.",
         "",
         "| parallelism | wall sec | clips/sec |",
         "|---|---|---|",

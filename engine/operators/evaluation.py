@@ -32,10 +32,16 @@ def _measures() -> list:
         F.count("*").alias("n_total"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((F.col("n_scrub_hits") > 0).cast("long")).alias("n_scrubbed"),
-        F.sum(F.coalesce(F.col("ppl_score"), F.lit(0.0))).alias("_ppl_sum"),
-        F.sum(F.col("ppl_score").isNotNull().cast("long")).alias("_ppl_n"),
-        F.sum(F.coalesce(F.col("silence_ratio"), F.lit(0.0))).alias("_sil_sum"),
-        F.sum(F.col("silence_ratio").isNotNull().cast("long")).alias("_sil_n"),
+        # score means over KEPT rows only — the "after cleaning" view
+        # (dropped rows carry sentinel scores, e.g. ppl 1e9 for empty text)
+        F.sum(F.when(F.col("keep"), F.col("ppl_score")).otherwise(F.lit(0.0)))
+        .alias("_ppl_sum"),
+        F.sum((F.col("keep") & F.col("ppl_score").isNotNull()).cast("long"))
+        .alias("_ppl_n"),
+        F.sum(F.when(F.col("keep"), F.col("silence_ratio")).otherwise(F.lit(0.0)))
+        .alias("_sil_sum"),
+        F.sum((F.col("keep") & F.col("silence_ratio").isNotNull()).cast("long"))
+        .alias("_sil_n"),
     ]
     for rule in config.RULE_ORDER:
         m.append(F.sum((F.col("drop_reason") == rule).cast("long"))
@@ -66,14 +72,14 @@ def corpus_report(labels: DataFrame, salted: bool = True) -> DataFrame:
                         F.round(F.col("n_kept") / F.col("n_total"), 6))
             .withColumn("scrub_rate",
                         F.round(F.col("n_scrubbed") / F.col("n_total"), 6))
-            .withColumn("avg_ppl",
+            .withColumn("avg_ppl_kept",
                         F.when(F.col("_ppl_n") > 0,
                                F.round(F.col("_ppl_sum") / F.col("_ppl_n"), 4)))
-            .withColumn("avg_silence_ratio",
+            .withColumn("avg_silence_kept",
                         F.when(F.col("_sil_n") > 0,
                                F.round(F.col("_sil_sum") / F.col("_sil_n"), 4)))
             .withColumn("drop_reason_counts", reason_map)
             .select("lang", "n_total", "n_kept", "keep_rate", "n_scrubbed",
-                    "scrub_rate", "avg_ppl", "avg_silence_ratio",
+                    "scrub_rate", "avg_ppl_kept", "avg_silence_kept",
                     "drop_reason_counts")
             .orderBy("lang"))
