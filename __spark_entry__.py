@@ -73,6 +73,40 @@ def _q_clips_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_scrubbed", "rule_version")
 
 
+def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio similarity search over the engine's own feature output: top-3
+    nearest clips by cosine over the 24-band log-mel profile, for the 3
+    lexicographically-first decodable clips (rows-only).  The multimodal
+    analog of embedding_topk: the 'embedding' here is produced by the
+    decode UDF, not given."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.operators import pipeline, scoring
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    mel = (scoring.score_clips(clips)
+           .where(F.col("mel_profile").isNotNull())
+           .select("clip_id", "mel_profile"))
+    q = (mel.orderBy("clip_id").limit(3)
+         .select(F.col("clip_id").alias("query_id"),
+                 F.col("mel_profile").alias("qv")))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("mel_profile"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate(F.col("mel_profile"), F.lit(0.0),
+                            lambda a, x: a + x * x))
+    cos = F.round(dot / (nq * nc), 4)
+    scored = (mel.crossJoin(F.broadcast(q))
+              .where(F.col("clip_id") != F.col("query_id"))
+              .select("query_id", "clip_id", cos.alias("mel_cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("mel_cos"), F.asc("clip_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("query_id", "rank", "clip_id", "mel_cos"))
+
+
 def _q_clips_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step6-graft corpus evaluation: per-language keep/drop/scrub report
     via the salted two-phase aggregation (rows-only)."""
@@ -140,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clips_lineage"] = _q_clips_lineage
     out["clips_stream_ingest"] = _q_clips_stream_ingest
     out["clips_eval_report"] = _q_clips_eval_report
+    out["clips_audio_topk"] = _q_clips_audio_topk
     return out
 
 

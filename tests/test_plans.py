@@ -81,3 +81,16 @@ def test_partition_pruning_on_part_id(spark, clips_t1):
     assert "= 3)" in plan
     # the predicate must be a partition filter, not a post-scan data filter
     assert "DataFilters: []" in plan
+
+
+def test_salted_report_aggregates_in_two_phases(spark, clips_t1):
+    """The corpus report's salted agg must show the (lang, _salt) partial
+    key in the plan — the explicit skew-bounding phase."""
+    from engine.operators import evaluation, pipeline
+
+    path, _, _ = clips_t1
+    labels = pipeline.run_pipeline(pipeline.read_clips(spark, path),
+                                   persist=False)
+    plan = evaluation.corpus_report(labels)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "_salt" in plan
