@@ -101,6 +101,15 @@ SIMHASH_BANDS = 4              # 4 bands x 16 bits: exact recall for d<=3
 SIMHASH_BAND_BITS = 16
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_SHINGLE_K = 3          # token 3-gram shingles
+# Band-bucket width cap: a band bucket wider than this is skipped by the
+# near-dup self-join (both engine and oracle).  Degenerate content (boiler-
+# plate, templated text) can collapse millions of rows into one band value
+# at 10^12 scale, turning the self-join quadratic; such mega-clusters are
+# handled by the exact-dup/audio-checksum rules instead.  The cap never
+# binds on the synthetic corpus (largest fixture bucket << cap) — it is the
+# documented skew guard, unit-tested with a forced-low cap.
+SIMHASH_BUCKET_CAP = 10_000
+
 # SimHash near-dup only applies to transcripts with >= this many tokens:
 # hamming<=3 of 64 needs ~95% shingle overlap, which is meaningless for
 # short utterances (1 token edit of a 10-token text flips ~16 bits).
@@ -162,6 +171,7 @@ def rule_version() -> str:
         CHARS_PER_SEC_MIN, CHARS_PER_SEC_MAX, DUR_MISMATCH_FRAC,
         SILENCE_FRAME_RMS, SILENCE_RATIO_MAX,
         LID_MARGIN_MIN, PPL_MAX, SIMHASH_BANDS, SIMHASH_BAND_BITS,
+        SIMHASH_BUCKET_CAP,
         SIMHASH_HAMMING_MAX, SIMHASH_SHINGLE_K, RULE_ORDER, N_PARTS,
     )).encode()
     return hashlib.sha256(blob).hexdigest()[:16]

@@ -66,6 +66,13 @@ def with_dup_flags(scored: DataFrame) -> DataFrame:
             .select("clip_id", "simhash",
                     F.posexplode(F.array(*[F.col(f"band{i}") for i in range(4)]))
                     .alias("band_idx", "band_val")))
+    # skew guard (SURVEY §7): skip band buckets wider than the cap — a
+    # degenerate band value must not turn the self-join quadratic; the
+    # window count shares the join's own hash partitioning by band key
+    w_bucket = Window.partitionBy("band_idx", "band_val")
+    cand = (cand.withColumn("_bw", F.count("*").over(w_bucket))
+            .where(F.col("_bw") <= config.SIMHASH_BUCKET_CAP)
+            .drop("_bw"))
     left = cand.alias("a")
     right = cand.alias("b")
     pairs = (left.join(

@@ -114,6 +114,8 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
             buckets.setdefault((bi, bv), []).append(cid)
     sim_dup: set[str] = set()
     for ids in buckets.values():
+        if len(ids) > config.SIMHASH_BUCKET_CAP:  # skew guard, mirrors dedup.py
+            continue
         for i in range(len(ids)):
             for j in range(i):
                 a, b = ids[i], ids[j]  # ids sorted asc -> b < a

@@ -119,3 +119,23 @@ def test_band_recall_exact_for_radius(spark):
         shared = any(x == y for x, y in
                      zip(simhash_core.bands(u), simhash_core.bands(v)))
         assert shared
+
+
+def test_bucket_cap_skips_mega_clusters(spark, monkeypatch):
+    """Skew guard: band buckets wider than SIMHASH_BUCKET_CAP are skipped
+    (their members fall back to exact/audio rules); narrower groups still
+    detect.  Forced-low cap so the guard binds on a tiny frame."""
+    monkeypatch.setattr(config, "SIMHASH_BUCKET_CAP", 3)
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a long and winding tune about distant hills")
+    # 5 identical long texts (distinct checksums): every band bucket has
+    # width 5 > cap -> no simhash dup flags
+    mega = [(f"m{i}", f"ck{i}", base) for i in range(5)]
+    out = _run(spark, mega)
+    assert not out["f_" + config.RULE_NEAR_DUP].any()
+
+    # a pair under the cap is still caught
+    pair = [("p0", "ckA", base), ("p1", "ckB", base)]
+    out2 = _run(spark, pair)
+    assert not out2.loc["p0", "f_" + config.RULE_NEAR_DUP]
+    assert out2.loc["p1", "f_" + config.RULE_NEAR_DUP]

@@ -94,3 +94,30 @@ def test_salted_report_aggregates_in_two_phases(spark, clips_t1):
     plan = evaluation.corpus_report(labels)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing demo (SURVEY §4.2 co-located joins): two tables bucketed
+    by the join key merge-join WITHOUT an Exchange.  At 10^12 scale this is
+    how labels re-join clips (both bucketed by clip_id) shuffle-free."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(1000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("va"))
+        b = spark.range(1000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 3).alias("vb"))
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_a")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_b")
+        j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
