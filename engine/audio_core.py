@@ -76,6 +76,11 @@ FRAME_MS = 25          # analysis window
 HOP_MS = 10            # hop
 N_MELS = 24            # mel filterbank size for the spectral profile
 FALLBACK_SR = 16000    # frame geometry when sr_hz itself is invalid
+MAX_SPECTRAL_FRAMES = 64  # spectral summary uses at most this many frames,
+#                           sampled at a deterministic even stride — a
+#                           clip-level mean/flatness doesn't need every
+#                           frame of a long clip; silence detection (which
+#                           does) still scans ALL frames at HOP_MS
 
 _FB_CACHE: dict = {}
 
@@ -142,7 +147,12 @@ def frame_features(payload: bytes | None, sr_hz: int | None):
     # zero-padded to the next power of two so rfft stays on the fast path
     # for every sample rate (44.1 kHz frames are 1102 = 2*19*29 samples)
     nsp = pcm.size // flen
-    sp = x[: nsp * flen].reshape(nsp, flen)
+    if nsp > MAX_SPECTRAL_FRAMES:
+        starts = (np.arange(MAX_SPECTRAL_FRAMES) * nsp
+                  // MAX_SPECTRAL_FRAMES) * flen
+        sp = x[starts[:, None] + np.arange(flen)[None, :]]
+    else:
+        sp = x[: nsp * flen].reshape(nsp, flen)
     key = (sr, flen)
     if key not in _FB_CACHE:
         nfft = 1 << (flen - 1).bit_length()
