@@ -78,3 +78,105 @@ def test_stateful_running_stats_match_batch(spark, clips_t1, tmp_path):
     assert got["lang"].tolist() == exp["lang"].tolist()
     for c in ("n_total", "n_kept", "n_scrubbed"):
         assert got[c].astype(int).tolist() == exp[c].astype(int).tolist(), c
+
+
+def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
+    """Event-time windows + watermark over a file stream (availableNow,
+    in-order files) == the batch windowed aggregation."""
+    from pyspark.sql import functions as F
+
+    from engine.streaming import windowed
+
+    src = str(tmp_path / "events_src")
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .orderBy("ts"))
+    batch.coalesce(4).write.parquet(src)  # a few files, roughly time-ordered
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (windowed.windowed_event_stats(stream)
+         .writeStream.format("memory").queryName("win_stats")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.table("win_stats").toPandas()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    exp = (windowed.windowed_event_stats(spark.read.parquet(src))
+           .toPandas()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    # append mode only emits FINALIZED windows; every emitted window must
+    # match batch exactly, and most windows must have been finalized
+    merged = got.merge(exp, on=["window_start", "event_type"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got) and len(got) >= 0.8 * len(exp)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["value_sum_s"] - merged["value_sum_b"]) < 1e-6).all()
+
+
+def test_windowed_watermark_finalization(spark, tmp_path):
+    """Watermark semantics in append mode: a window is emitted exactly once
+    and only after the watermark passes its end; a window the watermark has
+    not passed is never emitted.  (Dropping data later than the watermark is
+    best-effort in Spark, not guaranteed — so that is deliberately NOT
+    asserted here.)"""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from engine.streaming import windowed
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        tbl = pa.table({
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+        })
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # file 1 (older mtime): two events in hour-0, one far ahead (hour-3)
+    # that advances the watermark beyond hour-0's end + 10min
+    _write("a.parquet", [
+        (t0 + dt.timedelta(minutes=5), "click", 1.0),
+        (t0 + dt.timedelta(minutes=10), "click", 1.0),
+        (t0 + dt.timedelta(hours=3), "view", 1.0),
+    ], 1_000_000)
+    # file 2 (newer mtime): a LATE hour-0 event (watermark already ~2:50)
+    _write("b.parquet", [
+        (t0 + dt.timedelta(minutes=20), "click", 1.0),
+    ], 2_000_000)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(str(src)))
+    q = (windowed.windowed_event_stats(stream)
+         .writeStream.format("memory").queryName("late_stats")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("late_stats").toPandas()
+    # hour-0 click window: watermark (02:50) passed its end -> emitted
+    # exactly once (merged count includes the best-effort-accepted late row)
+    hour0 = got[(got["event_type"] == "click")]
+    assert len(hour0) == 1 and int(hour0["n_events"].iloc[0]) in (2, 3)
+    # hour-3 view window: watermark never passed 04:00 -> NOT finalized,
+    # NOT emitted (no early finalization — the hard guarantee)
+    assert got[(got["event_type"] == "view")].empty
