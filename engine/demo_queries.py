@@ -568,7 +568,28 @@ FROM events GROUP BY event_type
 # registry (extended by demo_text_queries / demo_sim_queries)
 # ---------------------------------------------------------------------------
 
+def q_windowed_event_stats(spark, sf_dir):
+    """Event-time tumbling-window aggregation (batch form of the streaming
+    watermark path, engine/streaming/windowed.py): per (hour, event_type)
+    count + value sum.  window() start == date_trunc hour for tumbling
+    1-hour windows; cast back to NTZ so both engines compare naive."""
+    from .streaming import windowed
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed.windowed_event_stats(ev)
+    return out.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+SQL_WINDOWED_EVENT_STATS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "windowed_event_stats": q_windowed_event_stats,
     "scan_project_cast": q_scan_project_cast,
     "filter_bounds": q_filter_bounds,
     "case_recode": q_case_recode,
@@ -593,6 +614,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "windowed_event_stats": SQL_WINDOWED_EVENT_STATS,
     "scan_project_cast": SQL_SCAN_PROJECT_CAST,
     "filter_bounds": SQL_FILTER_BOUNDS,
     "case_recode": SQL_CASE_RECODE,
