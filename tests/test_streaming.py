@@ -180,3 +180,31 @@ def test_windowed_watermark_finalization(spark, tmp_path):
     # hour-3 view window: watermark never passed 04:00 -> NOT finalized,
     # NOT emitted (no early finalization — the hard guarantee)
     assert got[(got["event_type"] == "view")].empty
+
+
+def test_reconcile_corrects_cross_batch_dups_only(spark, clips_t1, tmp_path):
+    """Lambda-split closure: stream ingest (within-batch dedup only) then
+    batch reconcile -> corrected labels equal the pure-batch answer, and
+    every flip is duplicate-rule related (cross-batch dup pairs the stream
+    could not see)."""
+    from engine.streaming import reconcile, stream_pipeline
+
+    path, _, _ = clips_t1
+    out = str(tmp_path / "stream_out")
+    q = stream_pipeline.start_stream(
+        spark, path, out, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    stream_labels = spark.read.parquet(f"{out}/labels")
+
+    batch, diff = reconcile.reconcile(spark, path, stream_labels)
+    d = diff.toPandas()
+    assert d["dup_related"].all(), d[~d["dup_related"]].head()
+
+    # corrected == pure batch answer on keep/drop for every clip
+    b = batch.select("clip_id", "keep", "drop_reason").toPandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    from engine.operators import pipeline as pl
+    b2 = pl.run_pipeline(pl.read_clips(spark, path)) \
+        .select("clip_id", "keep", "drop_reason").toPandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert b.equals(b2)
