@@ -142,9 +142,9 @@ def q_conditional_agg(spark, sf_dir):
 SQL_CONDITIONAL_AGG = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4)
            AS error_value
 FROM events GROUP BY user_id
@@ -465,8 +465,8 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS change
   FROM events),
 runs AS (
-  SELECT *, SUM(change) OVER (PARTITION BY user_id ORDER BY event_id
-                              ROWS UNBOUNDED PRECEDING) AS run_id
+  SELECT *, CAST(SUM(change) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
   FROM flagged)
 SELECT user_id, run_id, MIN(event_type) AS event_type, COUNT(*) AS run_len,
        MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id,
@@ -559,7 +559,7 @@ def q_json_extract(spark, sf_dir):
 
 SQL_JSON_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
 """

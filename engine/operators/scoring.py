@@ -75,9 +75,11 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for i, (payload, sr) in enumerate(zip(pdf["bytes"], pdf["sr_hz"])):
         sr_i = int(sr) if pd.notna(sr) else None
         p = bytes(payload) if payload is not None else None
-        d, ns, r, cr, ck = audio_core.features(p, sr_i)
+        # analyze() decodes + float32-casts the payload once for both
+        # feature families (the payload is the dominant per-row volume)
+        (d, ns, r, cr, ck), (sil, flat, mp) = audio_core.analyze(p, sr_i)
         dec_dur[i], n_samp[i], rms[i], clip_ratio[i], checksum[i] = d, ns, r, cr, ck
-        silence[i], flatness[i], mel[i] = audio_core.frame_features(p, sr_i)
+        silence[i], flatness[i], mel[i] = sil, flat, mp
 
     transcripts = pdf["transcript"].tolist()
     scrubbed, hits, severe = scrub_core.scrub_batch(transcripts)

@@ -15,8 +15,12 @@ Semantics deliberately scoped (and documented):
     without watermark semantics on a key that never expires.  This is the
     standard lambda split for web-scale dedup (batch reconciliation over
     streaming approximations).
-  * exactly-once sink: parquet append + checkpointLocation (Spark's file
-    sink commit log), matching the batch job's idempotent-overwrite story.
+  * sink idempotence: foreachBatch bypasses the file-sink commit log, so a
+    plain append would duplicate label rows when a micro-batch retries
+    (at-least-once).  Instead each batch overwrites its own
+    `labels/batch_id={id}` directory — a retry rewrites the same directory,
+    making the write idempotent and the overall path effectively-once.
+    Readers of `labels/` see `batch_id` as an extra partition column.
 """
 
 from __future__ import annotations
@@ -42,8 +46,9 @@ def start_stream(spark: SparkSession, input_path: str, output_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         labels = pipeline.run_pipeline(batch_df, persist=True)
-        (labels.write.mode("append").partitionBy("part_id")
-         .parquet(f"{output_path}/labels"))
+        # per-batch directory + overwrite = idempotent under batch retry
+        (labels.write.mode("overwrite").partitionBy("part_id")
+         .parquet(f"{output_path}/labels/batch_id={batch_id}"))
 
     writer = (stream.writeStream
               .foreachBatch(_process)

@@ -30,6 +30,7 @@ def main() -> int:
 
     spark = (SparkSession.builder.appName("clip-quality-eval-report")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
 
     labels = spark.read.parquet(args.labels)

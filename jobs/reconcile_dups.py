@@ -33,6 +33,7 @@ def main() -> int:
 
     spark = (SparkSession.builder.appName("clip-quality-reconcile")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                      str(config.ARROW_MAX_RECORDS_PER_BATCH))

@@ -24,6 +24,9 @@ def _build_session(master: str = "local[4]", shuffle_partitions: int = 8):
             .master(master)
             .appName("spark-clip-quality-tests")
             .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            # windowed aggs align to UTC epoch; pin the session zone so
+            # NTZ<->TZ casts are identity and results are host-independent
+            .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
