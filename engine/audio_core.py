@@ -1,10 +1,17 @@
-"""PCM s16le decode + batch audio features (numpy, vectorized per clip).
+"""Codec-dispatched payload decode + batch audio features (numpy,
+vectorized per clip).
 
-Payloads are raw PCM s16le mono (FIXTURES.md), so decode is exact and the
-SNR >= 30 dB invariant is checkable without codec libraries.  Compressed
-codecs (flac/opus/mp3) would need external decoders that are not installed
-in this sandbox; their decode path is stubbed behind NotImplementedError —
-the Spark-side plumbing (schema, batching, UDF signature) is identical.
+Decode goes through a per-codec registry (`decode_payload`): pcm_s16le is
+exact; flac/opus/mp3 are served by a clearly-marked deterministic STAND-IN
+codec (container-magic sniff + zlib, `encode_fake_compressed` /
+`_decode_fake_compressed`) because real codec libraries are not installed
+in this sandbox.  The stand-in exercises the real shape of the path —
+magic validation, decompression, failure -> undecodable — and a production
+deployment replaces it via `register_decoder("flac", soundfile_based_fn)`.
+The critical honesty property: bytes are NEVER PCM-interpreted unless the
+codec says pcm; a payload whose registered decoder fails (wrong magic,
+corrupt stream, no decoder) yields pcm=None and the row surfaces as
+UNDECODABLE instead of garbage features.
 
 Graft provenance: decoding the per-row heavy payload is the analog of the
 polyline decode `gepaf::decodePolyline` (Step1-Read-Data-Formatting.R:16-32);
@@ -33,25 +40,76 @@ def decode_pcm_s16le(payload: bytes | None) -> np.ndarray | None:
     return np.frombuffer(payload[:n], dtype="<i2")
 
 
-def decode_compressed(payload: bytes, codec: str) -> np.ndarray:
-    """Stub: flac/opus/mp3 decode requires external libs not present here."""
-    raise NotImplementedError(
-        f"codec {codec!r} decode requires an external decoder; "
-        "only pcm_s16le is decodable in this environment")
+# ---------------------------------------------------------------------------
+# Codec decode dispatch
+# ---------------------------------------------------------------------------
+
+# Container magics the STAND-IN compressed codec sniffs.  flac's matches the
+# real FLAC stream marker on purpose: a genuine flac file passes the sniff,
+# fails zlib, and lands cleanly in UNDECODABLE — never PCM-interpreted.
+FAKE_MAGIC = {"flac": b"fLaC", "opus": b"OpusHead", "mp3": b"ID3\x04"}
 
 
-def analyze(payload: bytes | None, sr_hz: int | None):
-    """Decode ONCE -> (features tuple, frame_features tuple).
+def encode_fake_compressed(pcm_bytes: bytes, codec: str) -> bytes:
+    """Fixture-side encoder for the stand-in codec: magic + zlib(pcm)."""
+    import zlib
 
-    The fused scoring UDF needs both feature families for every clip;
-    decoding (and float32-casting) the payload once here instead of once
-    per family halves the UDF's memory traffic on the ~100 KB payloads —
-    the dominant per-row cost at corpus scale."""
-    pcm = decode_pcm_s16le(payload)
+    return FAKE_MAGIC[codec] + zlib.compress(pcm_bytes, 1)
+
+
+def _decode_fake_compressed(payload: bytes, codec: str) -> np.ndarray | None:
+    import zlib
+
+    magic = FAKE_MAGIC[codec]
+    if len(payload) <= len(magic) or not payload.startswith(magic):
+        return None
+    try:
+        raw = zlib.decompress(payload[len(magic):])
+    except zlib.error:
+        return None
+    return decode_pcm_s16le(raw)
+
+
+_DECODERS: dict = {"pcm_s16le": decode_pcm_s16le}
+for _c in FAKE_MAGIC:
+    _DECODERS[_c] = (lambda c: lambda p: _decode_fake_compressed(p, c))(_c)
+
+
+def register_decoder(codec: str, fn) -> None:
+    """Production hook: install a real decoder (bytes -> int16 ndarray or
+    None) for a canonical codec, e.g. a soundfile/ffmpeg-backed flac fn."""
+    _DECODERS[codec] = fn
+
+
+def decode_payload(payload: bytes | None, canon_codec: str | None):
+    """payload + canonical codec -> int16 samples, or None (no payload, no
+    decoder registered for the codec, or the decoder rejected the bytes)."""
+    if payload is None:
+        return None
+    fn = _DECODERS.get(canon_codec)
+    if fn is None:
+        return None
+    return fn(payload)
+
+
+def analyze(payload: bytes | None, sr_hz: int | None,
+            canon_codec: str | None = "pcm_s16le"):
+    """Decode ONCE -> (undecodable, features tuple, frame_features tuple).
+
+    `undecodable` is True iff a payload was present but could not be
+    decoded under its codec (missing decoder or rejected bytes) — the
+    input of the UNDECODABLE rule.  The fused scoring UDF needs both
+    feature families for every clip; decoding (and float32-casting) the
+    payload once here instead of once per family halves the UDF's memory
+    traffic on the ~100 KB payloads — the dominant per-row cost at corpus
+    scale."""
+    pcm = decode_payload(payload, canon_codec)
     if pcm is None or pcm.size == 0:
-        return (None, None, None, None, None), (None, None, None)
+        return (payload is not None,
+                (None, None, None, None, None), (None, None, None))
     x = pcm.astype(np.float32)
-    return (_features_pcm(pcm, x, payload, sr_hz),
+    return (False,
+            _features_pcm(pcm, x, sr_hz),
             _frame_features_pcm(pcm, x, sr_hz))
 
 
@@ -70,17 +128,19 @@ def features(payload: bytes | None, sr_hz: int | None):
     pcm = decode_pcm_s16le(payload)
     if pcm is None or pcm.size == 0:
         return None, None, None, None, None
-    return _features_pcm(pcm, pcm.astype(np.float32), payload, sr_hz)
+    return _features_pcm(pcm, pcm.astype(np.float32), sr_hz)
 
 
-def _features_pcm(pcm: np.ndarray, x: np.ndarray, payload: bytes,
-                  sr_hz: int | None):
+def _features_pcm(pcm: np.ndarray, x: np.ndarray, sr_hz: int | None):
     n = int(pcm.size)
     rms = float(np.sqrt(np.dot(x, x) / n) / INT16_FULL_SCALE)
     clip_ratio = float(np.count_nonzero(
         (pcm >= CLIP_THRESHOLD) | (pcm <= -CLIP_THRESHOLD)) / n)
-    checksum = hashlib.blake2b(
-        memoryview(payload)[: 2 * n], digest_size=16).hexdigest()
+    # hash the DECODED sample buffer (for raw pcm this is a zero-copy view
+    # of the payload's even prefix — byte-identical to hashing the payload;
+    # for compressed codecs it makes the checksum a content hash, so the
+    # same audio dups across codecs)
+    checksum = hashlib.blake2b(pcm, digest_size=16).hexdigest()
     if sr_hz is None or sr_hz <= 0:
         return None, n, rms, clip_ratio, checksum
     dur = int(round(n / float(sr_hz) * 1000.0))

@@ -46,6 +46,15 @@ CODEC_ALIASES = {
 }
 CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3")
 
+
+def canon_codec(codec) -> str | None:
+    """Python-side mirror of heuristics.canon_codec_col (for the scoring
+    UDF, which must pick a decoder before the JVM-side recode runs)."""
+    if not isinstance(codec, str):
+        return None
+    lowered = codec.strip().lower()
+    return CODEC_ALIASES.get(lowered, lowered)
+
 # Transcript length bounds in characters (graft of missing-route detection,
 # Step2-Data-Incompleteness.R:3, + stratum bounds pattern Step3:366-832).
 TXT_LEN_MIN = 3
@@ -123,6 +132,11 @@ SIMHASH_MIN_TOKENS = 16
 RULE_DUR_BOUNDS = "DUR_BOUNDS"
 RULE_SR_INVALID = "SR_INVALID"
 RULE_CODEC_INVALID = "CODEC_INVALID"
+# payload present but not decodable under its (allowlisted) codec — missing
+# decoder or bytes the decoder rejects.  Ordered right after CODEC_INVALID:
+# an honest decode failure outranks every content rule, and a row must
+# never reach DUR_MISMATCH/SILENCE with PCM-interpreted compressed bytes.
+RULE_UNDECODABLE = "UNDECODABLE"
 RULE_TXT_EMPTY = "TXT_EMPTY"
 RULE_TXT_LEN = "TXT_LEN"
 RULE_CHAR_RATIO = "CHAR_RATIO"
@@ -138,6 +152,7 @@ RULE_ORDER = (
     RULE_DUR_BOUNDS,
     RULE_SR_INVALID,
     RULE_CODEC_INVALID,
+    RULE_UNDECODABLE,
     RULE_TXT_EMPTY,
     RULE_TXT_LEN,
     RULE_CHAR_RATIO,

@@ -6,10 +6,15 @@ Spark as pmod(xxhash64(clip_id), N_PARTS) at write time so it matches the
 engine's partitioning bit-for-bit) plus a parallel `planted` frame tagging
 each row's defect class for per-rule coverage tests.
 
-Audio payloads are raw PCM s16le mono (sum of 1-3 seeded sine tones +
-uniform noise), so decode is exact and the SNR >= 30 dB invariant is
-checkable without codec libs.  `dur profile` knobs bound payload size in
-the sandbox; the schema and defect taxonomy are identical at every scale.
+Audio signals are 1-3 seeded sine tones + uniform noise, s16le-quantized,
+so decode is exact and the SNR >= 30 dB invariant is checkable without
+codec libs.  Rows whose codec canonicalizes to flac/opus/mp3 carry their
+PCM ENCODED with the engine's stand-in compressed codec
+(audio_core.encode_fake_compressed) — the decode dispatcher is exercised
+for real, and a planted UNDECODABLE class carries corrupt compressed bytes
+(wrong magic / truncated / non-stream garbage) that every decoder must
+reject.  `dur profile` knobs bound payload size in the sandbox; the schema
+and defect taxonomy are identical at every scale.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from . import templates
+from . import audio_core, config, templates
 
 LANG_WEIGHTS = {"L1": 0.50, "L2": 0.20, "L3": 0.15, "L4": 0.10, "L5": 0.05}
 CODEC_WEIGHTS = {"pcm_s16le": 0.60, "flac": 0.20, "opus": 0.12, "mp3": 0.08}
@@ -31,10 +36,10 @@ DIRTY_CODEC_VARIANTS = {"mp3": ["MP3", "mpeg3"], "flac": ["Flac ", " FLAC"],
 
 # bump whenever generation logic changes: cached fixture tables on disk are
 # keyed by (n, seed, FIXTURES_VERSION) so stale caches regenerate
-FIXTURES_VERSION = 2
+FIXTURES_VERSION = 3
 
 DEFECT_CLASSES = [
-    "DUR_BOUNDS", "SR_INVALID", "CODEC_INVALID", "DUR_MISMATCH",
+    "DUR_BOUNDS", "SR_INVALID", "CODEC_INVALID", "UNDECODABLE", "DUR_MISMATCH",
     "SILENT_AUDIO",
     "TXT_EMPTY", "TXT_LEN", "CHAR_RATIO", "LID_MISMATCH", "HIGH_PPL",
     "TOXIC_SEVERE",
@@ -183,6 +188,9 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
             dur = min(dur, 2000)
         elif cls == "CODEC_INVALID":
             codec = str(rng.choice(["xvc9", "", "av1aud", "codec?"]))
+        elif cls == "UNDECODABLE":
+            # valid compressed codec label; payload corrupted after synth
+            codec = str(rng.choice(["flac", "opus", "mp3"]))
         elif cls == "DUR_MISMATCH":
             pcm_factor = float(rng.choice([0.5, 0.8, 1.3, 2.0]))
         elif cls == "SILENT_AUDIO":
@@ -262,6 +270,22 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
             payload = _synth_silent_pcm(rng, synth_sr, n_samples)
         else:
             payload = _synth_pcm(rng, synth_sr, n_samples)
+
+        # honest container encoding: compressed-canon codecs carry stand-in
+        # compressed bytes, never raw PCM under a flac/opus/mp3 label
+        canon = config.canon_codec(codec)
+        if payload is not None and canon in audio_core.FAKE_MAGIC:
+            payload = audio_core.encode_fake_compressed(payload, canon)
+        if cls == "UNDECODABLE" and payload is not None:
+            v = rng.random()
+            if v < 0.4:  # right magic, non-stream garbage (real-flac shape)
+                payload = audio_core.FAKE_MAGIC[canon] + bytes(
+                    rng.integers(0, 256, size=256).astype(np.uint8).tobytes())
+            elif v < 0.7:  # truncated stream
+                payload = payload[: max(len(audio_core.FAKE_MAGIC[canon]) + 4,
+                                        len(payload) // 2)][:-3]
+            else:  # wrong container magic
+                payload = b"OggS" + payload[4:]
 
         rows.append((clip_id, payload, sr, dur, codec, transcript))
         planted.append((clip_id, cls, lang))

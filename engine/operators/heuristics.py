@@ -89,6 +89,11 @@ def with_model_flags(df: DataFrame) -> DataFrame:
     dur = F.col("dur_ms")
     dec = F.col("decoded_dur_ms")
 
+    # UNDECODABLE: payload present but its codec's decoder is missing or
+    # rejected the bytes (scoring UDF verdict).  Precedes every
+    # decode-derived rule so those never fire on garbage interpretations.
+    f_undec = F.col("undecodable")
+
     # DUR_MISMATCH: recompute-and-check (Step5-Attribute-Redundancy.R:47-55).
     # Fires when duration and sample rate are themselves plausible but the
     # decoded payload disagrees (or is missing/undecodable).
@@ -111,6 +116,7 @@ def with_model_flags(df: DataFrame) -> DataFrame:
     f_tox = F.col("tox_severe")
 
     return (df
+            .withColumn("f_" + config.RULE_UNDECODABLE, f_undec)
             .withColumn("f_" + config.RULE_DUR_MISMATCH, f_mismatch)
             .withColumn("f_" + config.RULE_SILENCE, f_silence)
             .withColumn("f_" + config.RULE_LID_LOWCONF, f_lid)

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .. import audio_core, lid_core, ppl_core, scrub_core, simhash_core
+from .. import audio_core, config, lid_core, ppl_core, scrub_core, simhash_core
 
 SCORED_FIELDS = [
     T.StructField("clip_id", T.StringType(), False),
@@ -45,6 +45,7 @@ SCORED_FIELDS = [
     T.StructField("rms", T.DoubleType(), True),
     T.StructField("clipping_ratio", T.DoubleType(), True),
     T.StructField("pcm_checksum", T.StringType(), True),
+    T.StructField("undecodable", T.BooleanType(), False),
     T.StructField("silence_ratio", T.DoubleType(), True),
     T.StructField("spectral_flatness", T.DoubleType(), True),
     T.StructField("mel_profile", T.ArrayType(T.FloatType()), True),
@@ -69,15 +70,21 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     rms = [None] * n
     clip_ratio = [None] * n
     checksum = [None] * n
+    undec = [False] * n
     silence = [None] * n
     flatness = [None] * n
     mel = [None] * n
-    for i, (payload, sr) in enumerate(zip(pdf["bytes"], pdf["sr_hz"])):
+    for i, (payload, sr, codec) in enumerate(
+            zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])):
         sr_i = int(sr) if pd.notna(sr) else None
         p = bytes(payload) if payload is not None else None
-        # analyze() decodes + float32-casts the payload once for both
-        # feature families (the payload is the dominant per-row volume)
-        (d, ns, r, cr, ck), (sil, flat, mp) = audio_core.analyze(p, sr_i)
+        # analyze() picks the decoder by canonical codec and decodes +
+        # float32-casts the payload once for both feature families (the
+        # payload is the dominant per-row volume); undecodable bytes yield
+        # null features, never PCM-interpreted garbage
+        u, (d, ns, r, cr, ck), (sil, flat, mp) = audio_core.analyze(
+            p, sr_i, config.canon_codec(codec))
+        undec[i] = u
         dec_dur[i], n_samp[i], rms[i], clip_ratio[i], checksum[i] = d, ns, r, cr, ck
         silence[i], flatness[i], mel[i] = sil, flat, mp
 
@@ -105,6 +112,7 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "rms": pd.array(rms, dtype="Float64"),
         "clipping_ratio": pd.array(clip_ratio, dtype="Float64"),
         "pcm_checksum": checksum,
+        "undecodable": undec,
         "silence_ratio": pd.array(silence, dtype="Float64"),
         "spectral_flatness": pd.array(flatness, dtype="Float64"),
         "mel_profile": mel,

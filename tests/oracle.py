@@ -47,6 +47,13 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
             canon = config.CODEC_ALIASES.get(lowered, lowered)
         flags[config.RULE_CODEC_INVALID] = canon not in config.CODEC_ALLOWLIST
 
+        # decode through the same codec dispatch as the engine: a payload
+        # whose decoder is missing or rejects the bytes is UNDECODABLE and
+        # contributes NO features (never PCM-interpreted)
+        pcm = audio_core.decode_payload(payload, canon)
+        flags[config.RULE_UNDECODABLE] = payload is not None and (
+            pcm is None or pcm.size == 0)
+
         flags[config.RULE_TXT_EMPTY] = t is None or t.strip() == ""
         flags[config.RULE_TXT_LEN] = (
             t is not None
@@ -62,15 +69,16 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
                     ratio_bad = True
         flags[config.RULE_CHAR_RATIO] = ratio_bad
 
-        # decode
-        dec_dur, n_samp, rms, clip_ratio, checksum = audio_core.features(payload, sr)
+        # features over the dispatched decode (codec-aware)
+        _undec, feats, frame_feats = audio_core.analyze(payload, sr, canon)
+        dec_dur, n_samp, rms, clip_ratio, checksum = feats
         mismatch = False
         if dur is not None and dur > 0 and sr in config.SR_ALLOWLIST:
             mismatch = (dec_dur is None
                         or abs(dec_dur - dur) / dur > config.DUR_MISMATCH_FRAC)
         flags[config.RULE_DUR_MISMATCH] = mismatch
 
-        silence_ratio, _flatness, _mel = audio_core.frame_features(payload, sr)
+        silence_ratio, _flatness, _mel = frame_feats
         flags[config.RULE_SILENCE] = (
             silence_ratio is not None
             and silence_ratio > config.SILENCE_RATIO_MAX)

@@ -60,9 +60,66 @@ def test_odd_length_payload_truncates():
     assert pcm is not None and pcm.size == 1
 
 
-def test_compressed_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        audio_core.decode_compressed(b"xx", "opus")
+def test_fake_compressed_roundtrip_all_codecs():
+    """Stand-in compressed codec: encode -> decode_payload is lossless."""
+    sr = 16000
+    ref = _tone(sr, 0.5, 440.0, 0.4)
+    pcm_bytes = (ref * 32767.0).astype("<i2").tobytes()
+    for codec in audio_core.FAKE_MAGIC:
+        enc = audio_core.encode_fake_compressed(pcm_bytes, codec)
+        assert enc[:4] != pcm_bytes[:4]  # container, not raw pcm
+        dec = audio_core.decode_payload(enc, codec)
+        assert dec is not None and dec.tobytes() == pcm_bytes
+
+
+def test_compressed_bytes_never_pcm_interpreted():
+    """The round-1 hazard: raw PCM under a flac label, real-flac-like bytes,
+    truncation, wrong magic — all must yield None (UNDECODABLE), never a
+    garbage sample array."""
+    pcm_bytes = np.zeros(4000, dtype="<i2").tobytes()
+    enc = audio_core.encode_fake_compressed(pcm_bytes, "flac")
+    assert audio_core.decode_payload(pcm_bytes, "flac") is None     # raw pcm
+    assert audio_core.decode_payload(b"fLaC" + b"\x01" * 100, "flac") is None
+    assert audio_core.decode_payload(enc[: len(enc) // 2], "flac") is None
+    assert audio_core.decode_payload(b"OggS" + enc[4:], "flac") is None
+    # unknown / unregistered codec -> no decoder -> None
+    assert audio_core.decode_payload(pcm_bytes, "xvc9") is None
+    assert audio_core.decode_payload(pcm_bytes, None) is None
+
+
+def test_analyze_codec_aware_content_checksum():
+    """Same audio through pcm and the stand-in flac codec: identical
+    features and identical content checksum (cross-codec dup detection)."""
+    sr = 16000
+    ref = _tone(sr, 0.5, 300.0, 0.3)
+    pcm_bytes = (ref * 32767.0).astype("<i2").tobytes()
+    u1, f1, fr1 = audio_core.analyze(pcm_bytes, sr, "pcm_s16le")
+    u2, f2, fr2 = audio_core.analyze(
+        audio_core.encode_fake_compressed(pcm_bytes, "flac"), sr, "flac")
+    assert not u1 and not u2
+    assert f1 == f2 and fr1 == fr2
+    # undecodable: payload present, decode fails
+    u3, f3, _ = audio_core.analyze(pcm_bytes, sr, "flac")
+    assert u3 and f3 == (None, None, None, None, None)
+    # missing payload is NOT undecodable (DUR_MISMATCH's concern instead)
+    u4, _, _ = audio_core.analyze(None, sr, "flac")
+    assert not u4
+
+
+def test_register_decoder_hook():
+    """A production decoder registered for a codec takes over dispatch."""
+    calls = []
+
+    def fake(payload):
+        calls.append(payload)
+        return np.frombuffer(payload, dtype="<i2")
+
+    audio_core.register_decoder("testcodec", fake)
+    try:
+        out = audio_core.decode_payload(b"\x00\x01\x00\x02", "testcodec")
+        assert out is not None and out.size == 2 and len(calls) == 1
+    finally:
+        audio_core._DECODERS.pop("testcodec", None)
 
 
 def test_frame_features_tone_vs_silence():

@@ -117,15 +117,17 @@ def test_model_flag_dur_mismatch(spark):
         T.StructField("lid_margin", T.DoubleType()),
         T.StructField("ppl_score", T.DoubleType()),
         T.StructField("tox_severe", T.BooleanType()),
+        T.StructField("undecodable", T.BooleanType()),
     ])
     df = spark.createDataFrame([
-        ("exact", 16000, 1000, 1000, 0.0, 1.0, 10.0, False),
-        ("within", 16000, 1000, 1099, 0.0, 1.0, 10.0, False),
-        ("over", 16000, 1000, 1101, 0.0, 1.0, 10.0, False),
-        ("missing", 16000, 1000, None, None, 1.0, 10.0, False),
-        ("bad_sr", 12345, 1000, None, None, 1.0, 10.0, False),  # SR rule's problem
-        ("silent", 16000, 1000, 1000, 0.97, 1.0, 10.0, False),
-        ("part_silent", 16000, 1000, 1000, 0.5, 1.0, 10.0, False),
+        ("exact", 16000, 1000, 1000, 0.0, 1.0, 10.0, False, False),
+        ("within", 16000, 1000, 1099, 0.0, 1.0, 10.0, False, False),
+        ("over", 16000, 1000, 1101, 0.0, 1.0, 10.0, False, False),
+        ("missing", 16000, 1000, None, None, 1.0, 10.0, False, False),
+        ("bad_sr", 12345, 1000, None, None, 1.0, 10.0, False, False),  # SR rule's problem
+        ("silent", 16000, 1000, 1000, 0.97, 1.0, 10.0, False, False),
+        ("part_silent", 16000, 1000, 1000, 0.5, 1.0, 10.0, False, False),
+        ("undec", 16000, 1000, None, None, 1.0, 10.0, False, True),
     ], schema)
     f = heuristics.with_model_flags(df).toPandas().set_index("clip_id")
     col = "f_" + config.RULE_DUR_MISMATCH
@@ -135,3 +137,7 @@ def test_model_flag_dur_mismatch(spark):
     sil = "f_" + config.RULE_SILENCE
     assert f.loc["silent", sil]
     assert not f.loc["part_silent", sil] and not f.loc["missing", sil]
+    # undecodable flag passes through; precedence over DUR_MISMATCH is
+    # RULE_ORDER's concern (UNDECODABLE sits earlier)
+    und = "f_" + config.RULE_UNDECODABLE
+    assert f.loc["undec", und] and not f.loc["exact", und]
