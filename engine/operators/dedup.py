@@ -23,7 +23,9 @@ RULE_ORDER, so exact copies report EXACT_DUP even though both flags are
 true (the oracle mirrors this).
 
 Scale notes: the two hash-group flags are window mins over a shuffle by
-key — no skew risk (checksums are uniform).  The band join is the only
+key — non-null checksums are uniform (hashes), and the one guaranteed-hot
+key, NULL (payload missing/undecodable), is salted so it spreads instead
+of landing on a single reducer.  The band join is the only
 potentially-skewed shuffle in the engine: band values of near-empty
 transcripts collapse to few buckets, so rows whose scrubbed transcript is
 empty (simhash == 0) are excluded (they die at TXT_EMPTY anyway), and AQE
@@ -41,10 +43,21 @@ from .. import config
 
 def with_dup_flags(scored: DataFrame) -> DataFrame:
     """scored (from scoring.score_clips) -> + f_EXACT_DUP, f_NEAR_DUP."""
-    w_exact = Window.partitionBy("pcm_checksum", "transcript")
-    w_audio = Window.partitionBy("pcm_checksum")
-
     has_payload = F.col("pcm_checksum").isNotNull()
+
+    # Null-checksum rows (missing/undecodable payloads) can never be audio
+    # dups, but an unsalted window would hash every one of them into a
+    # SINGLE partition — at 10^12 rows with 1% undecodable that is 10^10
+    # rows sorted on one reducer.  Salt spreads the null key across
+    # N_SALT buckets; non-null keys keep salt 0 so their groups are
+    # unchanged, and the guarded flags below never read the null-partition
+    # window values, so results are identical.
+    salt = F.when(has_payload, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("clip_id"), F.lit(config.N_SALT)).cast("int"))
+
+    w_exact = Window.partitionBy("pcm_checksum", "_dup_salt", "transcript")
+    w_audio = Window.partitionBy("pcm_checksum", "_dup_salt")
+
     min_exact = F.min("clip_id").over(w_exact)
     min_audio = F.min("clip_id").over(w_audio)
 
@@ -53,12 +66,14 @@ def with_dup_flags(scored: DataFrame) -> DataFrame:
     f_audio = F.when(has_payload,
                      F.col("clip_id") != min_audio).otherwise(F.lit(False))
 
-    # audio window FIRST: hash-partitioning by pcm_checksum also satisfies
-    # the (pcm_checksum, transcript) clustering, so Catalyst plans ONE
-    # exchange + two sorts instead of two exchanges
+    # audio window FIRST: hash-partitioning by (pcm_checksum, _dup_salt)
+    # also satisfies the (pcm_checksum, _dup_salt, transcript) clustering,
+    # so Catalyst plans ONE exchange + two sorts instead of two exchanges
     df = (scored
+          .withColumn("_dup_salt", salt)
           .withColumn("_f_audio_dup", f_audio)
-          .withColumn("f_" + config.RULE_EXACT_DUP, f_exact))
+          .withColumn("f_" + config.RULE_EXACT_DUP, f_exact)
+          .drop("_dup_salt"))
 
     # --- SimHash band self-join (candidates exact for hamming <= 3) -------
     cand = (df

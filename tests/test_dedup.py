@@ -139,3 +139,19 @@ def test_bucket_cap_skips_mega_clusters(spark, monkeypatch):
     out2 = _run(spark, pair)
     assert not out2.loc["p0", "f_" + config.RULE_NEAR_DUP]
     assert out2.loc["p1", "f_" + config.RULE_NEAR_DUP]
+
+
+def test_null_checksum_window_is_salted(spark):
+    """Skew guard: the null checksum key (missing/undecodable payloads)
+    must be salted in the window partitioning — a majority-null corpus
+    cannot funnel into one reducer — while flags stay correct."""
+    rows = [(f"n{i:03d}", None, f"text number {i}") for i in range(40)]
+    rows += [("d1", "hX", "dup text"), ("d2", "hX", "dup text")]
+    out = dedup.with_dup_flags(_scored(spark, rows))
+    f = out.toPandas().set_index("clip_id")
+    e = "f_" + config.RULE_EXACT_DUP
+    assert not f.loc[[r[0] for r in rows[:40]], e].any()
+    assert not f.loc["d1", e] and f.loc["d2", e]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(pcm_checksum" in plan
+    assert "_dup_salt" in plan
