@@ -190,45 +190,89 @@ FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within each source bucket
-    (blocked self-join; the O(n^2) stays inside small blocks)."""
+    """Token-set Jaccard near-dup pairs, scale-safe: MinHash-band CANDIDATE
+    generation (8 md5-minhash sigs -> 4 bands of 2; the self-join key is
+    the band bucket, whose width is bounded by signature collisions) then
+    an exact-Jaccard VERIFY stage over only the candidate pairs.
+
+    The round-1 version blocked on `source` — O(block^2) with a hot source
+    going quadratic at corpus scale.  Banding keeps every shuffle keyed by
+    a hash value: for jaccard >= 0.8 a 2-sig band matches with p = 0.64,
+    so 4 bands recall 1-(1-0.64)^4 ~ 98% of qualifying pairs; md5 makes
+    the candidate set bit-identical in Spark and DuckDB, so the oracle
+    mirrors the banding exactly."""
     d = _t(spark, sf_dir, "documents")
-    docs = d.select("doc_id", "source",
-                    F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"))
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size("a.toks") + F.size("b.toks") - inter
-    jac = inter.cast("double") / union.cast("double")
-    # size prefilter IMPLIED by jaccard >= 0.8 (|A∩B| <= min sizes, so
-    # jac >= 0.8 forces 5*|A| >= 4*|B| and vice versa): prunes most pairs
-    # before the O(|A|+|B|) intersect — results provably unchanged, and the
-    # same predicate appears in the oracle SQL
-    size_ok = ((F.size("a.toks") * 5 >= F.size("b.toks") * 4)
-               & (F.size("b.toks") * 5 >= F.size("a.toks") * 4))
-    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+    docs = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"))
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"s{i}")
+          for i in range(8)])
+    stacked = None
+    for i in range(4):
+        part = sigs.select(
+            "doc_id", F.lit(f"b{i}").alias("band_no"),
+            F.md5(F.concat(F.col(f"s{2 * i}"), F.col(f"s{2 * i + 1}")))
+            .alias("band_key"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where(size_ok)
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 6).alias("jaccard"))
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    # size prefilter IMPLIED by jaccard >= 0.8 (|A∩B| <= min sizes forces
+    # 5*|A| >= 4*|B| and vice versa): prunes before the O(|A|+|B|)
+    # intersect — provably result-neutral, mirrored in the oracle SQL
+    size_ok = ((F.size("toks_a") * 5 >= F.size("toks_b") * 4)
+               & (F.size("toks_b") * 5 >= F.size("toks_a") * 4))
+    return (cand.join(da, "doc_a").join(db, "doc_b")
+            .where(size_ok)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= 0.8))
 
 
 SQL_DEDUP_NGRAM_JACCARD = r"""
 WITH docs AS (
-  SELECT doc_id, source,
-         list_distinct(string_split_regex(text, '\s+')) AS toks
-  FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-             6) AS jaccard
-FROM docs a JOIN docs b
-  ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(a.toks) * 5 >= len(b.toks) * 4
-  AND len(b.toks) * 5 >= len(a.toks) * 4
-  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM docs),
+sigs AS (
+  SELECT doc_id,
+         MIN(md5(tok || '#0')) AS s0, MIN(md5(tok || '#1')) AS s1,
+         MIN(md5(tok || '#2')) AS s2, MIN(md5(tok || '#3')) AS s3,
+         MIN(md5(tok || '#4')) AS s4, MIN(md5(tok || '#5')) AS s5,
+         MIN(md5(tok || '#6')) AS s6, MIN(md5(tok || '#7')) AS s7
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 'b0' AS band_no, md5(s0 || s1) AS band_key FROM sigs
+  UNION ALL SELECT doc_id, 'b1', md5(s2 || s3) FROM sigs
+  UNION ALL SELECT doc_id, 'b2', md5(s4 || s5) FROM sigs
+  UNION ALL SELECT doc_id, 'b3', md5(s6 || s7) FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+             / (len(da.toks) + len(db.toks)
+                - len(list_intersect(da.toks, db.toks))), 6) AS jaccard
+FROM cand c
+JOIN docs da ON da.doc_id = c.doc_a
+JOIN docs db ON db.doc_id = c.doc_b
+WHERE len(da.toks) * 5 >= len(db.toks) * 4
+  AND len(db.toks) * 5 >= len(da.toks) * 4
+  AND CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+      / (len(da.toks) + len(db.toks)
+         - len(list_intersect(da.toks, db.toks))) >= 0.8
 """
 
 

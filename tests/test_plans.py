@@ -121,3 +121,16 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_jaccard_self_join_keyed_by_band(spark):
+    """Scale shape of the Jaccard dedup: the self-join must be keyed by the
+    MinHash band bucket (hash-valued, bounded width), never by `source`
+    (a hot source would make the block quadratic)."""
+    from engine import demo_text_queries
+
+    df = demo_text_queries.q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "band_key" in plan
+    # column pruning proves `source` never participates: no scan reads it
+    assert "source" not in plan.split("ReadSchema:", 1)[1]
