@@ -276,6 +276,56 @@ WHERE len(da.toks) * 5 >= len(db.toks) * 4
 """
 
 
+def q_repair_rescore(spark, sf_dir):
+    """R1-R7 repair-family graft, demo form: documents failing a quality
+    rule (short text / low alpha ratio) get the engine's normalization
+    repair (control chars -> space, ASCII-whitespace-run collapse, trim)
+    and are re-evaluated; status = KEPT (never failed) / REPAIRED (passes
+    after normalization) / DROPPED (repair can't save it).  Same
+    normalization expression as engine/operators/repair.py."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(t, "[\\x00-\\x1F\\x7F]", " "),
+        "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+    def _fails(c):
+        n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+        return (F.length(c) < 40) | \
+            (n_alpha.cast("double") / F.length(c) < 0.6)
+
+    status = (F.when(~_fails(t), "KEPT")
+              .when(~_fails(norm), "REPAIRED")
+              .otherwise("DROPPED"))
+    final = F.when(_fails(t), norm).otherwise(t)
+    return d.select("doc_id", status.alias("status"),
+                    F.length(final).alias("n_chars_final"))
+
+
+SQL_REPAIR_RESCORE = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                             '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm
+  FROM documents),
+ev AS (
+  SELECT doc_id, text, norm,
+         (LENGTH(text) < 40 OR
+          CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / LENGTH(text) < 0.6) AS fail_raw,
+         (LENGTH(norm) < 40 OR
+          CAST(LENGTH(regexp_replace(norm, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / LENGTH(norm) < 0.6) AS fail_norm
+  FROM n)
+SELECT doc_id,
+       CASE WHEN NOT fail_raw THEN 'KEPT'
+            WHEN NOT fail_norm THEN 'REPAIRED'
+            ELSE 'DROPPED' END AS status,
+       LENGTH(CASE WHEN fail_raw THEN norm ELSE text END) AS n_chars_final
+FROM ev
+"""
+
+
 def _simhash_bit(j: int):
     """Bit j (0..15) of md5(tok), via hex-digit position arithmetic that is
     expressible identically in Spark SQL and DuckDB (no engine-specific
@@ -350,9 +400,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "repair_rescore": q_repair_rescore,
 }
 
 ORACLE_SQL = {
+    "repair_rescore": SQL_REPAIR_RESCORE,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,

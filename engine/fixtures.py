@@ -36,7 +36,7 @@ DIRTY_CODEC_VARIANTS = {"mp3": ["MP3", "mpeg3"], "flac": ["Flac ", " FLAC"],
 
 # bump whenever generation logic changes: cached fixture tables on disk are
 # keyed by (n, seed, FIXTURES_VERSION) so stale caches regenerate
-FIXTURES_VERSION = 3
+FIXTURES_VERSION = 4
 
 DEFECT_CLASSES = [
     "DUR_BOUNDS", "SR_INVALID", "CODEC_INVALID", "UNDECODABLE", "DUR_MISMATCH",
@@ -44,8 +44,10 @@ DEFECT_CLASSES = [
     "TXT_EMPTY", "TXT_LEN", "CHAR_RATIO", "LID_MISMATCH", "HIGH_PPL",
     "TOXIC_SEVERE",
 ]
-# kept-but-rewritten classes
-KEPT_CLASSES = ["PII", "TOXIC_MILD", "DIRTY_CODEC"]
+# kept-but-rewritten classes.  REPAIRABLE: clean transcript damaged with
+# whitespace floods + control chars so CHAR_RATIO fires on the raw text,
+# and the repair stage's normalization rescues it (kept, repaired=True).
+KEPT_CLASSES = ["PII", "TOXIC_MILD", "DIRTY_CODEC", "REPAIRABLE"]
 
 # bare PII tokens (no foreign-language context words, so the scrubbed
 # placeholder is a single OOV token inside otherwise-clean native text)
@@ -248,6 +250,23 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
         elif cls == "DIRTY_CODEC":
             canon = str(codecs[i])
             codec = str(rng.choice(DIRTY_CODEC_VARIANTS[canon]))
+        elif cls == "REPAIRABLE":
+            # whitespace/control damage: every word gap becomes a long
+            # ASCII-whitespace run (sometimes with a control char), pushing
+            # alpha_ratio well under 0.5 while the content stays clean —
+            # normalization restores a passing transcript
+            words = transcript.split()
+            if len(words) < 6:
+                words = _clean_transcript(rng, lang, max(dur, 6000)).split()
+            parts = [words[0]]
+            for w in words[1:]:
+                gap = " " * int(rng.integers(8, 14))
+                if rng.random() < 0.2:
+                    gap = gap[:2] + "\x07" + gap[2:]
+                if rng.random() < 0.15:
+                    gap = "\t" + gap
+                parts.append(gap + w)
+            transcript = "".join(parts) + " " * int(rng.integers(0, 20))
 
         # cps guard: mutations that change transcript length (PII/toxic
         # inserts, interleaves, shuffle padding) must not trip CHAR_RATIO —

@@ -17,7 +17,7 @@ from .. import config
 LABEL_COLUMNS = [
     "clip_id", "part_id", "keep", "drop_reason", "rule_flags",
     "lang", "lid_margin", "ppl_score",
-    "scrubbed_transcript", "n_scrub_hits",
+    "scrubbed_transcript", "n_scrub_hits", "repaired",
     "decoded_dur_ms", "rms", "clipping_ratio", "silence_ratio", "pcm_checksum",
 ]
 
@@ -56,6 +56,7 @@ def lineage_metrics(labels: DataFrame) -> DataFrame:
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         F.sum((F.col("n_scrub_hits") > 0).cast("long")).alias("n_scrubbed"),
+        F.sum(F.col("repaired").cast("long")).alias("n_repaired"),
     ))
     return (base.join(reason_maps, "part_id", "left")
             .withColumn("drop_reason_counts",
@@ -64,4 +65,5 @@ def lineage_metrics(labels: DataFrame) -> DataFrame:
             .withColumn("status", F.lit("committed"))
             .withColumn("rule_version", F.lit(config.rule_version()))
             .select("part_id", "status", "n_total", "n_kept", "n_dropped",
-                    "drop_reason_counts", "n_scrubbed", "rule_version"))
+                    "drop_reason_counts", "n_scrubbed", "n_repaired",
+                    "rule_version"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from .. import schema
-from . import decision, dedup, heuristics, scoring
+from . import decision, dedup, heuristics, repair, scoring
 
 
 def read_clips(spark: SparkSession, path: str) -> DataFrame:
@@ -45,7 +45,10 @@ def run_pipeline(clips: DataFrame, persist: bool = True) -> DataFrame:
         # on the unfilled cache and re-execute the UDF subtree per branch
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         scored.count()
-    flagged = heuristics.with_model_flags(heuristics.with_heuristic_flags(scored))
+    # repair sits between heuristic and model flags: rescued rows carry
+    # repaired transcripts into model flags AND dup grouping
+    flagged = heuristics.with_model_flags(
+        repair.with_repair(heuristics.with_heuristic_flags(scored)))
     with_dups = dedup.with_dup_flags(flagged)
     decided = decision.with_decision(with_dups)
     return decision.to_labels(decided)

@@ -31,6 +31,7 @@ LABELS_SCHEMA = T.StructType([
     T.StructField("ppl_score", T.DoubleType(), nullable=True),
     T.StructField("scrubbed_transcript", T.StringType(), nullable=True),
     T.StructField("n_scrub_hits", T.IntegerType(), nullable=False),
+    T.StructField("repaired", T.BooleanType(), nullable=False),
     T.StructField("decoded_dur_ms", T.IntegerType(), nullable=True),
     T.StructField("rms", T.DoubleType(), nullable=True),
     T.StructField("clipping_ratio", T.DoubleType(), nullable=True),
@@ -46,6 +47,7 @@ LINEAGE_SCHEMA = T.StructType([
     T.StructField("n_dropped", T.LongType(), nullable=False),
     T.StructField("drop_reason_counts", T.MapType(T.StringType(), T.LongType()), nullable=False),
     T.StructField("n_scrubbed", T.LongType(), nullable=False),
+    T.StructField("n_repaired", T.LongType(), nullable=False),
     T.StructField("rule_version", T.StringType(), nullable=False),
 ])
 

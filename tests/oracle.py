@@ -13,6 +13,7 @@ code, so the comparison catches fusion/ordering/distribution bugs.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 
@@ -21,6 +22,15 @@ from engine import audio_core, config, lid_core, ppl_core, scrub_core, simhash_c
 
 def _alpha_ratio(t: str) -> float:
     return sum(ch.isalpha() for ch in t) / len(t)
+
+
+def _normalize(t: str) -> str:
+    """Repair normalization, independently re-implemented: control chars ->
+    space, collapse ASCII whitespace runs, trim.  ASCII-explicit classes on
+    purpose — engine/operators/repair.py documents why \\s is banned."""
+    t = re.sub("[\x00-\x1f\x7f]", " ", t)
+    t = re.sub("[ \t\n\x0b\f\r]+", " ", t)
+    return t.strip(" ")
 
 
 def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
@@ -69,6 +79,30 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
                     ratio_bad = True
         flags[config.RULE_CHAR_RATIO] = ratio_bad
 
+        # repair-then-rescore (engine/operators/repair.py): a TXT_LEN /
+        # CHAR_RATIO failure whose normalized text clears all text rules is
+        # kept with the repaired transcript; scrub/LID/PPL/simhash below
+        # then score the repaired text
+        repaired = False
+        if (flags[config.RULE_TXT_LEN] or flags[config.RULE_CHAR_RATIO]) \
+                and t is not None:
+            norm = _normalize(t)
+            if norm != t and len(norm) > 0:
+                ok = config.TXT_LEN_MIN <= len(norm) <= config.TXT_LEN_MAX
+                if ok and _alpha_ratio(norm) < config.ALPHA_RATIO_MIN:
+                    ok = False
+                if ok and dur is not None and dur > 0:
+                    cps = len(norm) / (dur / 1000.0)
+                    if cps > config.CHARS_PER_SEC_MAX \
+                            or cps < config.CHARS_PER_SEC_MIN:
+                        ok = False
+                if ok:
+                    repaired = True
+                    t = norm
+                    flags[config.RULE_TXT_EMPTY] = False
+                    flags[config.RULE_TXT_LEN] = False
+                    flags[config.RULE_CHAR_RATIO] = False
+
         # features over the dispatched decode (codec-aware)
         _undec, feats, frame_feats = audio_core.analyze(payload, sr, canon)
         dec_dur, n_samp, rms, clip_ratio, checksum = feats
@@ -95,6 +129,7 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
         per[r.clip_id] = {
             "checksum": checksum, "transcript": t, "simhash": simhash,
             "flags": flags, "scrubbed": scrubbed, "n_hits": n_hits,
+            "repaired": repaired,
             "lang": lang, "margin": margin, "ppl": ppl,
             "dec_dur": dec_dur, "rms": rms, "clip_ratio": clip_ratio,
             "silence_ratio": silence_ratio,
@@ -154,6 +189,7 @@ def label_clips(clips: pd.DataFrame) -> pd.DataFrame:
             "ppl_score": p["ppl"],
             "scrubbed_transcript": p["scrubbed"],
             "n_scrub_hits": p["n_hits"],
+            "repaired": p["repaired"],
             "decoded_dur_ms": p["dec_dur"],
             "rms": p["rms"],
             "clipping_ratio": p["clip_ratio"],

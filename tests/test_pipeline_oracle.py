@@ -75,7 +75,7 @@ def test_planted_defects_are_caught(spark, clips_t1):
     eng = _run_engine(spark, path)
     m = eng.merge(planted, on="clip_id")
 
-    kept_classes = {"clean", "PII", "TOXIC_MILD", "DIRTY_CODEC"}
+    kept_classes = {"clean", "PII", "TOXIC_MILD", "DIRTY_CODEC", "REPAIRABLE"}
     for cls, grp in m.groupby("defect"):
         keep_rate = grp["keep"].mean()
         if cls in kept_classes:
@@ -89,6 +89,13 @@ def test_planted_defects_are_caught(spark, clips_t1):
     clean = m[m["defect"] == "clean"]
     orig = clips_pd.set_index("clip_id").loc[clean["clip_id"], "transcript"]
     assert (clean["scrubbed_transcript"].values == orig.values).all()
+
+    # REPAIRABLE rows: kept via the repair stage (repaired=True), transcript
+    # normalized (no whitespace runs / control chars survive)
+    rep = m[m["defect"] == "REPAIRABLE"]
+    assert len(rep) > 0 and rep["repaired"].all()
+    assert not rep["scrubbed_transcript"].str.contains("  |\t|\x07").any()
+    assert not clean["repaired"].any()
 
 
 def test_determinism_across_partitionings(spark, clips_t1):
