@@ -13,8 +13,22 @@ from pyspark.sql import functions as F
 
 from .demo_queries import _t
 
-N_PLANES = 4
 DIM = 64
+
+# Corpus-size-adaptive plane count (round-1 fixed 4 planes / 16 buckets —
+# at 100x scale each bucket is N/16 and within-bucket work goes quadratic).
+# planes = clamp(ceil(log2(n / TARGET_BUCKET)), MIN, MAX), derived with
+# INTEGER bit-length arithmetic (`bin()`) so Spark and DuckDB agree exactly
+# (no libm log2 ulp risk).  Expected bucket width ~TARGET_BUCKET until the
+# MAX_PLANES ceiling; beyond that the EMB_BUCKET_CAP skew guard bounds the
+# self-join (same pattern as SIMHASH_BUCKET_CAP).
+MIN_PLANES, MAX_PLANES = 4, 16
+TARGET_BUCKET = 256
+EMB_BUCKET_CAP = 4096
+
+_N_PLANES_EXPR = (
+    f"greatest({MIN_PLANES}, least({MAX_PLANES}, "
+    f"length(bin(cast(ceil(_n / {TARGET_BUCKET}.0) as bigint) - 1))))")
 
 
 def _plane(p: int) -> list[float]:
@@ -29,15 +43,28 @@ def _dot(vec_col, weights: list[float]):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-def q_embedding_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH: 4 sign bits -> 16 buckets; per-bucket stats.
-    The ANN scale path: at 10^12 rows the bucket id becomes the shuffle/
-    partition key and candidate search stays within buckets."""
-    e = _t(spark, sf_dir, "embeddings")
+def _with_adaptive_bucket(e):
+    """+ `bucket` column from the corpus-size-adaptive plane count: the
+    row count is one scalar agg broadcast to every row; plane p's bit only
+    contributes while p < n_planes."""
+    stats = (e.agg(F.count("*").alias("_n"))
+             .select(F.expr(_N_PLANES_EXPR).alias("_np")))
     bucket = sum(
-        (F.when(_dot(F.col("embedding"), _plane(p)) >= 0, 1 << p).otherwise(0)
-         for p in range(N_PLANES)), F.lit(0))
-    return (e.withColumn("bucket", bucket)
+        (F.when((F.lit(p) < F.col("_np"))
+                & (_dot(F.col("embedding"), _plane(p)) >= 0),
+                1 << p).otherwise(0)
+         for p in range(MAX_PLANES)), F.lit(0))
+    return (e.crossJoin(F.broadcast(stats))
+            .withColumn("bucket", bucket).drop("_np"))
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH with corpus-size-adaptive plane count;
+    per-bucket stats.  The ANN scale path: at 10^12 rows the bucket id
+    becomes the shuffle/partition key and candidate search stays within
+    buckets whose expected width tracks TARGET_BUCKET."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (_with_adaptive_bucket(e)
             .groupBy("bucket")
             .agg(F.count("*").alias("n_vecs"),
                  F.min("vec_id").alias("min_vec_id")))
@@ -48,18 +75,28 @@ def _sql_dot(col: str, weights: list[float]) -> str:
     return f"list_dot_product({col}, [{lits}])"
 
 
-def _sql_lsh() -> str:
+_SQL_N_PLANES = (
+    f"GREATEST({MIN_PLANES}, LEAST({MAX_PLANES}, "
+    f"LENGTH(bin(CAST(CEIL(COUNT(*) / {TARGET_BUCKET}.0) AS BIGINT) - 1))))")
+
+
+def _sql_bucket_cte() -> str:
     bits = " + ".join(
-        f"(CASE WHEN {_sql_dot('embedding', _plane(p))} >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES))
-    return f"""
-SELECT ({bits}) AS bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
-FROM embeddings GROUP BY 1
+        f"(CASE WHEN {p} < np.n_planes AND "
+        f"{_sql_dot('embedding', _plane(p))} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(MAX_PLANES))
+    return f"""np AS (
+  SELECT {_SQL_N_PLANES} AS n_planes FROM embeddings),
+b AS (
+  SELECT vec_id, embedding, ({bits}) AS bucket
+  FROM embeddings, np)"""
+
+
+SQL_EMBEDDING_LSH_BUCKETS = f"""
+WITH {_sql_bucket_cte()}
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM b GROUP BY 1
 """
-
-
-SQL_EMBEDDING_LSH_BUCKETS = _sql_lsh()
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -147,17 +184,22 @@ def _cos(a_col, b_col):
 
 
 def q_embedding_neardup_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup candidates: random-hyperplane LSH bucket
-    as the blocking key, then exact cosine on within-bucket pairs.  At
-    scale the bucket id is the shuffle key, so the self-join never goes
-    quadratic; the 0.35 floor keeps only candidate pairs a rescreen pass
-    would verify (this synthetic table plants no true near-dups — max
-    pairwise cosine ~0.51 — so the floor sits where candidates exist)."""
+    """Embedding-cosine near-dup: adaptive LSH bucket as the BLOCKING key
+    (plane count scales with corpus size), bucket-width cap as the skew
+    guard (a degenerate bucket wider than EMB_BUCKET_CAP is skipped rather
+    than joined quadratically), then the exact-cosine VERIFY stage over
+    only within-bucket candidate pairs.  Bound: per-bucket pair work is
+    <= EMB_BUCKET_CAP^2/2 regardless of corpus skew; expected bucket width
+    is ~TARGET_BUCKET until the MAX_PLANES ceiling.  (This synthetic table
+    plants no true near-dups — max pairwise cosine ~0.51 — so the 0.35
+    floor sits where candidates exist.)"""
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (F.when(_dot(F.col("embedding"), _plane(p)) >= 0, 1 << p).otherwise(0)
-         for p in range(N_PLANES)), F.lit(0))
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = _with_adaptive_bucket(e).select("vec_id", "embedding", "bucket")
+    w = Window.partitionBy("bucket")
+    b = (b.withColumn("_bw", F.count("*").over(w))
+         .where(F.col("_bw") <= EMB_BUCKET_CAP).drop("_bw"))
     a, c = b.alias("a"), b.alias("c")
     cos = F.round(_cos(F.col("a.embedding"), F.col("c.embedding")), 3)
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
@@ -169,17 +211,17 @@ def q_embedding_neardup_cosine(spark, sf_dir):
 
 
 def _sql_neardup() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {_sql_dot('embedding', _plane(p))} >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES))
     cos = ("list_dot_product(a.embedding, c.embedding) / "
            "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
            "sqrt(list_dot_product(c.embedding, c.embedding)))")
     return f"""
-WITH b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
+WITH {_sql_bucket_cte()},
+capped AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bw FROM b) t
+  WHERE bw <= {EMB_BUCKET_CAP})
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({cos}, 3) AS cos_sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({cos}, 3) >= 0.35
 """
 

@@ -134,3 +134,16 @@ def test_jaccard_self_join_keyed_by_band(spark):
     assert "band_key" in plan
     # column pruning proves `source` never participates: no scan reads it
     assert "source" not in plan.split("ReadSchema:", 1)[1]
+
+
+def test_lsh_plane_count_scales_with_corpus(spark):
+    """Adaptive LSH: plane count grows with row count (clamped to
+    [MIN_PLANES, MAX_PLANES]) and the integer bit-length derivation is
+    engine-exact (same expression string feeds the DuckDB oracle)."""
+    from engine import demo_sim_queries as sq
+
+    rows = [(100,), (4096,), (65536,), (10**9,), (10**15,)]
+    got = (spark.createDataFrame(rows, "_n long")
+           .select(F.expr(sq._N_PLANES_EXPR).alias("np"))
+           .toPandas()["np"].tolist())
+    assert got == [4, 4, 8, 16, 16]  # 65536/256=256 -> 8 planes; clamps hold
