@@ -135,6 +135,18 @@ def _q_clips_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.corpus_report(_labels_df(spark)).drop("drop_reason_counts")
 
 
+def _q_clips_eval_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step6 demographics-join graft: broadcast the speaker/source dim
+    into the labels table, report keep/scrub/repair rates per
+    (region, device) (rows-only; pandas-oracle + broadcast plan gate in
+    tests/test_evaluation.py)."""
+    from engine import fixtures
+    from engine.operators import evaluation
+
+    dim = spark.createDataFrame(fixtures.generate_speakers(50, seed=42))
+    return evaluation.corpus_report_by_dim(_labels_df(spark), dim, 50)
+
+
 def _q_clips_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest: same fused per-clip pipeline applied
     per micro-batch (availableNow); each batch overwrites its own
@@ -192,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clips_lineage"] = _q_clips_lineage
     out["clips_stream_ingest"] = _q_clips_stream_ingest
     out["clips_eval_report"] = _q_clips_eval_report
+    out["clips_eval_by_region"] = _q_clips_eval_by_region
     out["clips_audio_topk"] = _q_clips_audio_topk
     return out
 

@@ -345,6 +345,22 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
     return clips, planted_df
 
 
+SPEAKER_REGIONS = ["APAC", "EMEA", "LATAM", "NA"]
+SPEAKER_DEVICES = ["desktop", "mobile", "studio"]
+
+
+def generate_speakers(n_speakers: int = 50, seed: int = 42) -> pd.DataFrame:
+    """Deterministic speaker/source dimension table for the Step6-graft
+    demographics join (evaluation.corpus_report_by_dim): speaker_id is the
+    hash-assignment key pmod(xxhash64(clip_id), n_speakers)."""
+    rng = np.random.default_rng(seed + 7)
+    return pd.DataFrame({
+        "speaker_id": np.arange(n_speakers, dtype=np.int32),
+        "region": rng.choice(SPEAKER_REGIONS, size=n_speakers).astype(object),
+        "device": rng.choice(SPEAKER_DEVICES, size=n_speakers).astype(object),
+    })
+
+
 def write_clips_parquet(spark, clips_pd: pd.DataFrame, path: str,
                         mode: str = "overwrite") -> None:
     """Stamp part_id = pmod(xxhash64(clip_id), N_PARTS) with Spark (so it is

@@ -83,3 +83,35 @@ def corpus_report(labels: DataFrame, salted: bool = True) -> DataFrame:
                     "scrub_rate", "avg_ppl_kept", "avg_silence_kept",
                     "drop_reason_counts")
             .orderBy("lang"))
+
+
+def corpus_report_by_dim(labels: DataFrame, dim: DataFrame,
+                         n_speakers: int) -> DataFrame:
+    """Clips-side dimension enrichment — the Step6 demographics join graft
+    (Step6-Evaluation.R:54-61 merges a per-user demographics table into
+    the issue report with O(n*m) loops; here the small speaker/source
+    dimension is BROADCAST into the labels table).
+
+    speaker_id is hash-assigned from clip_id (pmod(xxhash64, n_speakers)) —
+    the stand-in for real speaker metadata the input_hint schema doesn't
+    carry — then the report aggregates keep/scrub rates per dim attribute.
+    The dim is tiny (thousands of speakers vs 10^12 clips), so the join
+    side is a broadcast, never a shuffle of the labels table."""
+    enriched = (labels
+                .withColumn("speaker_id",
+                            F.pmod(F.xxhash64("clip_id"),
+                                   F.lit(n_speakers)).cast("int"))
+                .join(F.broadcast(dim), "speaker_id"))
+    agg = enriched.groupBy("region", "device").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("n_scrub_hits") > 0).cast("long")).alias("n_scrubbed"),
+        F.sum(F.col("repaired").cast("long")).alias("n_repaired"))
+    return (agg
+            .withColumn("keep_rate",
+                        F.round(F.col("n_kept") / F.col("n_total"), 6))
+            .withColumn("scrub_rate",
+                        F.round(F.col("n_scrubbed") / F.col("n_total"), 6))
+            .select("region", "device", "n_total", "n_kept", "keep_rate",
+                    "n_scrubbed", "scrub_rate", "n_repaired")
+            .orderBy("region", "device"))
