@@ -1,0 +1,134 @@
+"""Data-driven threshold refit — the distributed analog of the reference's
+per-corpus model refitting (mixture fits Step2-Data-Incompleteness.R:
+100-148 / Step3-Temporal-Inconsistency.R:150-355; hclust Step2:218-247;
+kmeans Step3:451-455).
+
+The engine freezes its cutoffs in config.py (see config docstring); this
+module derives CANDIDATE cutoffs from a new corpus so an operator can
+review a provenance-stamped config diff instead of trusting constants
+fitted on a different distribution.
+
+Method, chosen for scale AND determinism:
+
+  1. One distributed aggregation builds a fixed-width histogram per score
+     column (the only pass over the data — works identically at 10^12
+     rows; bin counts are exact, order-independent sums).
+  2. Exact 1-D 2-means on the histogram bins (driver-side, O(n_bins) with
+     prefix sums): the boundary between the two clusters is the candidate
+     threshold.  For one-dimensional cutoffs this dominates pyspark.ml
+     KMeans: no sampled init, no partitioning-dependent seeds — the same
+     corpus always yields the same proposal (unit-tested), while the
+     reference's gamlssMX/kmeans fits are seed-lottery affairs.
+  3. Exact distribution percentiles ride along as guardrail context in
+     the emitted proposal.
+
+The proposal is a JSON-able dict stamped with rule_version, corpus size
+and histogram parameters — `jobs/refit_thresholds.py` ships it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import config
+
+N_BINS = 512
+
+
+def score_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                    n_bins: int = N_BINS) -> tuple[np.ndarray, np.ndarray]:
+    """-> (bin_centers, counts): one exact distributed agg; values outside
+    [lo, hi] clamp into the edge bins (so e.g. the ppl sentinel for empty
+    text lands in the top bin instead of stretching the grid)."""
+    width = (hi - lo) / n_bins
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(
+        (F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")))
+    rows = (df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bin")).agg(F.count("*").alias("n"))
+            .collect())
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for r in rows:
+        counts[r["bin"]] = r["n"]
+    centers = lo + (np.arange(n_bins) + 0.5) * width
+    return centers, counts
+
+
+def kmeans2_boundary(centers: np.ndarray, counts: np.ndarray) -> float:
+    """Exact weighted 1-D 2-means over histogram bins: evaluate every
+    split point via prefix sums, take the SSE-minimizing one; boundary =
+    midpoint of the two cluster means (deterministic, no init lottery)."""
+    w = counts.astype(np.float64)
+    x = centers.astype(np.float64)
+    cw = np.cumsum(w)
+    cwx = np.cumsum(w * x)
+    cwx2 = np.cumsum(w * x * x)
+    total_w, total_wx, total_wx2 = cw[-1], cwx[-1], cwx2[-1]
+    if total_w == 0:
+        return float(x[len(x) // 2])
+    best_sse, best_i = np.inf, None
+    for i in range(len(x) - 1):
+        wl, wr = cw[i], total_w - cw[i]
+        if wl == 0 or wr == 0:
+            continue
+        # SSE = sum(w x^2) - (sum(w x))^2 / sum(w), per side
+        sse = (cwx2[i] - cwx[i] ** 2 / wl) \
+            + ((total_wx2 - cwx2[i]) - (total_wx - cwx[i]) ** 2 / wr)
+        if sse < best_sse - 1e-12:
+            best_sse, best_i = sse, i
+    if best_i is None:
+        return float(x[len(x) // 2])
+    mean_l = cwx[best_i] / cw[best_i]
+    mean_r = (total_wx - cwx[best_i]) / (total_w - cw[best_i])
+    return float((mean_l + mean_r) / 2.0)
+
+
+def _percentiles(df: DataFrame, col: str, ps: list[float]) -> list[float]:
+    row = df.where(F.col(col).isNotNull()).select(
+        F.expr(f"percentile({col}, array({', '.join(map(str, ps))}))")
+        .alias("p")).first()
+    return [float(v) for v in row["p"]]
+
+
+def refit_thresholds(scored: DataFrame) -> dict:
+    """scored (scoring.score_clips output or the checkpointed scored
+    table) -> provenance-stamped threshold proposal dict."""
+    n_rows = scored.count()
+
+    # perplexity: clamp the histogram at 4x the frozen cutoff — the empty-
+    # transcript sentinel (1e9) must not stretch the grid; it clamps into
+    # the top bin and anchors the high cluster
+    ppl_hi = float(config.PPL_MAX * 4)
+    c, n = score_histogram(scored, "ppl_score", 0.0, ppl_hi)
+    ppl_cut = kmeans2_boundary(c, n)
+    ppl_pcts = _percentiles(scored, "ppl_score", [0.5, 0.9, 0.99])
+
+    c, n = score_histogram(scored, "lid_margin", 0.0, 4.0)
+    lid_cut = kmeans2_boundary(c, n)
+    lid_pcts = _percentiles(scored, "lid_margin", [0.01, 0.1, 0.5])
+
+    c, n = score_histogram(scored, "silence_ratio", 0.0, 1.0)
+    sil_cut = kmeans2_boundary(c, n)
+
+    return {
+        "method": "fixed-width histogram (1 distributed agg/score) + "
+                  "exact weighted 1-D 2-means over bins",
+        "n_bins": N_BINS,
+        "n_rows": int(n_rows),
+        "rule_version": config.rule_version(),
+        "current": {
+            "PPL_MAX": config.PPL_MAX,
+            "LID_MARGIN_MIN": config.LID_MARGIN_MIN,
+            "SILENCE_RATIO_MAX": config.SILENCE_RATIO_MAX,
+        },
+        "proposed": {
+            "PPL_MAX": round(ppl_cut, 4),
+            "LID_MARGIN_MIN": round(lid_cut, 4),
+            "SILENCE_RATIO_MAX": round(sil_cut, 4),
+        },
+        "context": {
+            "ppl_p50_p90_p99": [round(v, 4) for v in ppl_pcts],
+            "lid_margin_p01_p10_p50": [round(v, 4) for v in lid_pcts],
+        },
+    }

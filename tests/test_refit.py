@@ -1,0 +1,46 @@
+"""Threshold refit (engine/refit.py): deterministic proposals that land in
+the planted separation windows of the seeded corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import refit
+from engine.operators import pipeline, scoring
+
+
+def test_kmeans2_boundary_separates_two_modes():
+    centers = np.linspace(0, 10, 100)
+    counts = np.zeros(100, dtype=np.int64)
+    counts[10:20] = 50   # mode ~1.0-2.0
+    counts[80:90] = 30   # mode ~8.0-9.0
+    b = refit.kmeans2_boundary(centers, counts)
+    assert 2.0 < b < 8.0
+
+
+def test_kmeans2_boundary_degenerate():
+    c = np.linspace(0, 1, 8)
+    assert refit.kmeans2_boundary(c, np.zeros(8, dtype=np.int64)) is not None
+    one = np.zeros(8, dtype=np.int64)
+    one[3] = 5
+    assert 0.0 <= refit.kmeans2_boundary(c, one) <= 1.0
+
+
+def test_refit_is_deterministic_and_in_window(spark, clips_t1):
+    path, _, _ = clips_t1
+    scored = scoring.score_clips(pipeline.read_clips(spark, path))
+    scored = scored.persist()
+    p1 = refit.refit_thresholds(scored)
+    p2 = refit.refit_thresholds(scored)
+    scored.unpersist()
+    assert p1 == p2  # same corpus -> same proposal, always
+
+    prop = p1["proposed"]
+    # ppl candidate must sit above the clean/pii mass (median) and far
+    # below the empty-text sentinel (p99 can BE the 1e9 sentinel, so it is
+    # context, not a bound)
+    assert p1["context"]["ppl_p50_p90_p99"][0] < prop["PPL_MAX"] < 400.0
+    assert 0.0 < prop["LID_MARGIN_MIN"] < 2.0
+    assert 0.0 < prop["SILENCE_RATIO_MAX"] < 1.0
+    assert p1["rule_version"] and p1["n_rows"] > 0
+    assert p1["current"]["PPL_MAX"] == 90.0
