@@ -547,6 +547,57 @@ FROM nx WHERE lat2 IS NOT NULL
 """
 
 
+def q_geodesic_midpoint(spark, sf_dir):
+    """C2: geodesic midpoint between consecutive per-user points — the
+    great-circle analog of the reference's project->average->reproject
+    midpoint (_Functions_.R:14-29, EPSG:4326->26915->4326).  Spherical
+    midpoint via the Cartesian-average formula (atan2 form), coords derived
+    deterministically like haversine_adjacent; rounded to 4 dp to absorb
+    libm ulp differences between engines."""
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("event_id") % 120) - 60 + F.lit(0.5)).cast("double")
+    lon = (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    df = (ev.withColumn("lat", lat).withColumn("lon", lon)
+          .withColumn("lat2", F.lead("lat").over(_w_user()))
+          .withColumn("lon2", F.lead("lon").over(_w_user()))
+          .where(F.col("lat2").isNotNull()))
+    la1, la2 = F.radians("lat"), F.radians("lat2")
+    dlon = F.radians(F.col("lon2") - F.col("lon"))
+    bx = F.cos(la2) * F.cos(dlon)
+    by = F.cos(la2) * F.sin(dlon)
+    lat_m = F.atan2(F.sin(la1) + F.sin(la2),
+                    F.sqrt((F.cos(la1) + bx) ** 2 + by ** 2))
+    lon_m = F.radians("lon") + F.atan2(by, F.cos(la1) + bx)
+    return df.select(
+        "user_id", "event_id",
+        F.round(F.degrees(lat_m), 4).alias("mid_lat"),
+        F.round(F.degrees(lon_m), 4).alias("mid_lon"))
+
+
+SQL_GEODESIC_MIDPOINT = """
+WITH pts AS (
+  SELECT user_id, event_id, ts,
+         CAST((event_id % 120) - 60 + 0.5 AS DOUBLE) AS lat,
+         CAST(((event_id * 7) % 360) - 180 + 0.25 AS DOUBLE) AS lon
+  FROM events),
+nx AS (
+  SELECT *, LEAD(lat) OVER w AS lat2, LEAD(lon) OVER w AS lon2
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, event_id,
+         RADIANS(lat) AS la1, RADIANS(lat2) AS la2,
+         COS(RADIANS(lat2)) * COS(RADIANS(lon2 - lon)) AS bx,
+         COS(RADIANS(lat2)) * SIN(RADIANS(lon2 - lon)) AS by,
+         RADIANS(lon) AS lo1
+  FROM nx WHERE lat2 IS NOT NULL)
+SELECT user_id, event_id,
+       ROUND(DEGREES(ATAN2(SIN(la1) + SIN(la2),
+             SQRT((COS(la1) + bx) * (COS(la1) + bx) + by * by))), 4) AS mid_lat,
+       ROUND(DEGREES(lo1 + ATAN2(by, COS(la1) + bx)), 4) AS mid_lon
+FROM m
+"""
+
+
 def q_json_extract(spark, sf_dir):
     """S-family: semi-structured column extraction (events.props JSON)."""
     ev = _t(spark, sf_dir, "events")
@@ -610,10 +661,12 @@ QUERIES = {
     "run_collapse": q_run_collapse,
     "interp_midpoint": q_interp_midpoint,
     "haversine_adjacent": q_haversine_adjacent,
+    "geodesic_midpoint": q_geodesic_midpoint,
     "json_extract": q_json_extract,
 }
 
 ORACLE_SQL = {
+    "geodesic_midpoint": SQL_GEODESIC_MIDPOINT,
     "windowed_event_stats": SQL_WINDOWED_EVENT_STATS,
     "scan_project_cast": SQL_SCAN_PROJECT_CAST,
     "filter_bounds": SQL_FILTER_BOUNDS,

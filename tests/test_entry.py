@@ -39,7 +39,8 @@ def test_every_query_has_callable_signature():
     # rows-only entries are exactly the clips ones (non-SQL-expressible)
     assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
                                    "clips_lineage", "clips_stream_ingest",
-                                   "clips_eval_report", "clips_audio_topk"}
+                                   "clips_eval_report", "clips_audio_topk",
+                                   "clips_eval_by_region"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
