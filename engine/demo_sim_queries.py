@@ -49,10 +49,14 @@ def _with_adaptive_bucket(e):
     contributes while p < n_planes."""
     stats = (e.agg(F.count("*").alias("_n"))
              .select(F.expr(_N_PLANES_EXPR).alias("_np")))
+    # nested when: the outer (cheap) plane-count guard must decide BEFORE
+    # the dot product is evaluated — CaseWhen branches are lazy, so planes
+    # beyond n_planes cost nothing (a single `&` conjunction computed all
+    # MAX_PLANES dot products and doubled the query)
     bucket = sum(
-        (F.when((F.lit(p) < F.col("_np"))
-                & (_dot(F.col("embedding"), _plane(p)) >= 0),
-                1 << p).otherwise(0)
+        (F.when(F.lit(p) < F.col("_np"),
+                F.when(_dot(F.col("embedding"), _plane(p)) >= 0,
+                       1 << p).otherwise(0)).otherwise(0)
          for p in range(MAX_PLANES)), F.lit(0))
     return (e.crossJoin(F.broadcast(stats))
             .withColumn("bucket", bucket).drop("_np"))

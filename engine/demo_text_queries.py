@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from .demo_queries import _t
 
 _STOPWORDS = ("the", "a", "of")
+JACCARD_BUCKET_CAP = 64  # skip boilerplate mega-buckets in the pair join
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 _MARKERS = ("scan", "join", "window")
 
@@ -192,15 +193,23 @@ FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup pairs, scale-safe: MinHash-band CANDIDATE
     generation (8 md5-minhash sigs -> 4 bands of 2; the self-join key is
-    the band bucket, whose width is bounded by signature collisions) then
-    an exact-Jaccard VERIFY stage over only the candidate pairs.
+    the band bucket) then an exact-Jaccard VERIFY stage over only the
+    candidate pairs.
 
     The round-1 version blocked on `source` — O(block^2) with a hot source
     going quadratic at corpus scale.  Banding keeps every shuffle keyed by
     a hash value: for jaccard >= 0.8 a 2-sig band matches with p = 0.64,
     so 4 bands recall 1-(1-0.64)^4 ~ 98% of qualifying pairs; md5 makes
     the candidate set bit-identical in Spark and DuckDB, so the oracle
-    mirrors the banding exactly."""
+    mirrors the banding exactly.
+
+    Skew guard (JACCARD_BUCKET_CAP, mirrored in the SQL): a boilerplate
+    mega-cluster collapses thousands of docs into ONE band bucket — this
+    corpus has a 3165-doc bucket = 20.7M candidate pairs at sf0.1 — and a
+    pair-emitting operator is inherently quadratic in such a cluster, so
+    buckets wider than the cap are skipped; template clusters belong to
+    the fingerprint/exact-dup GROUP operators (doc_fingerprint,
+    dedup_exact), which report them in O(cluster) as one group row."""
     d = _t(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"))
@@ -215,6 +224,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             F.md5(F.concat(F.col(f"s{2 * i}"), F.col(f"s{2 * i + 1}")))
             .alias("band_key"))
         stacked = part if stacked is None else stacked.unionByName(part)
+    from pyspark.sql import Window
+    wb = Window.partitionBy("band_no", "band_key")
+    stacked = (stacked.withColumn("_bw", F.count("*").over(wb))
+               .where(F.col("_bw") <= JACCARD_BUCKET_CAP).drop("_bw"))
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -238,7 +251,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             .where(F.col("jaccard") >= 0.8))
 
 
-SQL_DEDUP_NGRAM_JACCARD = r"""
+SQL_DEDUP_NGRAM_JACCARD = rf"""
 WITH docs AS (
   SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
   FROM documents),
@@ -251,11 +264,16 @@ sigs AS (
          MIN(md5(tok || '#4')) AS s4, MIN(md5(tok || '#5')) AS s5,
          MIN(md5(tok || '#6')) AS s6, MIN(md5(tok || '#7')) AS s7
   FROM toks GROUP BY doc_id),
-bands AS (
+bands0 AS (
   SELECT doc_id, 'b0' AS band_no, md5(s0 || s1) AS band_key FROM sigs
   UNION ALL SELECT doc_id, 'b1', md5(s2 || s3) FROM sigs
   UNION ALL SELECT doc_id, 'b2', md5(s4 || s5) FROM sigs
   UNION ALL SELECT doc_id, 'b3', md5(s6 || s7) FROM sigs),
+bands AS (
+  SELECT doc_id, band_no, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS bw
+    FROM bands0) t
+  WHERE bw <= {JACCARD_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

@@ -134,8 +134,16 @@ def with_repair(df: DataFrame) -> DataFrame:
     staged = (df.withColumn("_norm", norm)
               .withColumn("_rescue", rescue))
 
+    # compact the (few-%) candidate subset before the UDF: without it the
+    # rescore stage inherits the full scan's partition count and pays one
+    # Python-worker round-trip per mostly-empty partition (measured 3x on
+    # the whole pipeline).  repartition, NOT coalesce: coalesce would
+    # collapse the parent filter stage's parallelism too — at corpus scale
+    # that stage reads the full scored table and must stay wide; the
+    # shuffle moved here is only the tiny candidate projection.
     rescored = (staged.where(F.col("_rescue"))
                 .select("clip_id", F.col("_norm").alias("r_transcript"))
+                .repartition(8)
                 .mapInPandas(_rescore_iter, schema=RESCORED_SCHEMA))
 
     out = staged.join(rescored, "clip_id", "left")

@@ -40,9 +40,10 @@ def read_clip_stream(spark: SparkSession, input_path: str,
 
 
 def start_stream(spark: SparkSession, input_path: str, output_path: str,
-                 checkpoint: str, available_now: bool = False):
+                 checkpoint: str, available_now: bool = False,
+                 max_files_per_trigger: int = 8):
     """Start the streaming pipeline; returns the StreamingQuery."""
-    stream = read_clip_stream(spark, input_path)
+    stream = read_clip_stream(spark, input_path, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         labels = pipeline.run_pipeline(batch_df, persist=True)
