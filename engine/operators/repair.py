@@ -13,9 +13,12 @@ keeps its original transcript and original failure.
 
 Scale shape: the candidate predicate filters BEFORE the rescore UDF, so
 the second Python crossing sees only the few-percent damaged subset (the
-main fused UDF still runs exactly once over the full table); the
-merge-back is a join on clip_id that AQE turns into a broadcast join
-whenever the rescued subset is small.
+main fused UDF still runs exactly once over the full table).  The
+merge-back is a UNION of two branches — non-rescued rows flow through a
+narrow filter with NO shuffle, and only the candidate subset pays a
+(candidate x rescored) join — so repair never shuffles the full table;
+at 10^12 rows the joined volume is bounded by the damage rate, not the
+corpus size.
 
 Whitespace class is ASCII-EXPLICIT in both engines and the oracle: Java's
 \\s and Python's re \\s disagree on unicode spaces, so the normalization
@@ -134,25 +137,28 @@ def with_repair(df: DataFrame) -> DataFrame:
     staged = (df.withColumn("_norm", norm)
               .withColumn("_rescue", rescue))
 
-    # compact the (few-%) candidate subset before the UDF: without it the
-    # rescore stage inherits the full scan's partition count and pays one
-    # Python-worker round-trip per mostly-empty partition (measured 3x on
-    # the whole pipeline).  repartition, NOT coalesce: coalesce would
-    # collapse the parent filter stage's parallelism too — at corpus scale
-    # that stage reads the full scored table and must stay wide; the
-    # shuffle moved here is only the tiny candidate projection.
-    rescored = (staged.where(F.col("_rescue"))
+    # untouched branch: narrow filter, NO shuffle of the main table
+    untouched = (staged.where(~F.col("_rescue"))
+                 .withColumn("repaired", F.lit(False)))
+
+    # candidate branch: compact the (few-%) subset before the UDF — without
+    # the repartition the rescore stage inherits the full scan's partition
+    # count and pays one Python-worker round-trip per mostly-empty
+    # partition (measured 3x on the whole pipeline).  repartition, NOT
+    # coalesce: coalesce would collapse the parent filter stage's
+    # parallelism too, and that stage reads the full scored table.
+    cand = staged.where(F.col("_rescue"))
+    rescored = (cand
                 .select("clip_id", F.col("_norm").alias("r_transcript"))
                 .repartition(8)
                 .mapInPandas(_rescore_iter, schema=RESCORED_SCHEMA))
-
-    out = staged.join(rescored, "clip_id", "left")
-    repaired = F.col("r_transcript").isNotNull()
+    merged = cand.join(rescored, "clip_id")  # candidate-sized x same — tiny
     for dst, src in _MERGE.items():
-        out = out.withColumn(dst, F.when(repaired, F.col(src)).otherwise(F.col(dst)))
+        merged = merged.withColumn(dst, F.col(src))
     for rule in (config.RULE_TXT_EMPTY, config.RULE_TXT_LEN,
                  config.RULE_CHAR_RATIO):
-        out = out.withColumn(
-            f"f_{rule}", F.when(repaired, F.lit(False)).otherwise(F.col(f"f_{rule}")))
-    out = out.withColumn("repaired", repaired)
-    return out.drop("_norm", "_rescue", *RESCORED_SCHEMA.fieldNames()[1:])
+        merged = merged.withColumn(f"f_{rule}", F.lit(False))
+    merged = merged.withColumn("repaired", F.lit(True)) \
+        .drop(*RESCORED_SCHEMA.fieldNames()[1:])
+
+    return untouched.unionByName(merged).drop("_norm", "_rescue")
