@@ -294,6 +294,53 @@ WHERE len(da.toks) * 5 >= len(db.toks) * 4
 """
 
 
+SAMPLE_RATES = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 1.0, "fr": 1.0}
+_HASH_DENOM = float(1 << 32)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the head-language downsampling
+    every training-data pipeline runs before mixing a corpus.  Keep a row
+    iff hash_frac(doc_id) < rate[lang], where hash_frac is the first 8 hex
+    digits of md5 over 2^32: reproducible across engines, runs and
+    partitionings (no RNG state), per-stratum rates from a broadcast-able
+    literal map, and a doc keeps/loses membership stably as rates change.
+    (Spark's df.sampleBy is seed-stable but partitioning-dependent; a
+    content-hash threshold is the corpus-scale idiom.)"""
+    d = _t(spark, sf_dir, "documents")
+    hash_frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 8), 16, 10)
+                 .cast("long") / F.lit(_HASH_DENOM))
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        rate = (F.when(F.col("lang") == lang, F.lit(r)) if rate is None
+                else rate.when(F.col("lang") == lang, F.lit(r)))
+    rate = rate.otherwise(F.lit(0.05))
+    return (d.withColumn("_hf", hash_frac)
+            .where(F.col("_hf") < rate)
+            .select("doc_id", "lang", "source",
+                    F.round("_hf", 6).alias("hash_frac")))
+
+
+def _sql_stratified() -> str:
+    whens = "\n            ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items())
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / {_HASH_DENOM} AS hf,
+         CASE {whens}
+              ELSE 0.05 END AS rate
+  FROM documents)
+SELECT doc_id, lang, source, ROUND(hf, 6) AS hash_frac
+FROM h WHERE hf < rate
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified()
+
+
 def q_repair_rescore(spark, sf_dir):
     """R1-R7 repair-family graft, demo form: documents failing a quality
     rule (short text / low alpha ratio) get the engine's normalization
@@ -419,10 +466,12 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "repair_rescore": q_repair_rescore,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
     "repair_rescore": SQL_REPAIR_RESCORE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
