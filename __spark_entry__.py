@@ -135,6 +135,16 @@ def _q_clips_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.corpus_report(_labels_df(spark)).drop("drop_reason_counts")
 
 
+def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform: decode + resample every clip to the canonical
+    16 kHz in one Arrow crossing (rows-only; numpy-parity gate in
+    tests/test_audio.py / tests/test_entry.py)."""
+    from engine.operators import pipeline, transform
+
+    clips = pipeline.read_clips(spark, _clips_path(spark))
+    return transform.resample_clips(clips)
+
+
 def _q_clips_eval_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step6 demographics-join graft: broadcast the speaker/source dim
     into the labels table, report keep/scrub/repair rates per
@@ -209,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clips_stream_ingest"] = _q_clips_stream_ingest
     out["clips_eval_report"] = _q_clips_eval_report
     out["clips_eval_by_region"] = _q_clips_eval_by_region
+    out["clips_resample"] = _q_clips_resample
     out["clips_audio_topk"] = _q_clips_audio_topk
     return out
 

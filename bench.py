@@ -249,8 +249,8 @@ def _write_baseline_md(report: dict, n_clips: int) -> None:
         "where the box's own limits are not the binding constraint, so the",
         "measurement reflects the engine.",
         "",
-        f"Input: deterministic synthetic clips table, {n_clips} clips with raw",
-        f"PCM payloads (engine/fixtures.py, profile='bench', seed={BENCH_SEED}).",
+        f"Input: deterministic synthetic clips table, {n_clips} clips with mixed-codec (pcm + stand-in-compressed) audio",
+        f"payloads (engine/fixtures.py, profile='bench', seed={BENCH_SEED}).",
         "Timed span: fused pass scan -> heuristics || decode+LID+perplexity UDF",
         "-> scrub -> near-dup -> decision -> labels (noop sink, no driver collect).",
         "Levels measured in interleaved rounds (2-8-8-2 ordering) so host-noise",

@@ -249,6 +249,24 @@ def _frame_features_pcm(pcm: np.ndarray, x: np.ndarray, sr_hz: int | None):
     return silence_ratio, flat, [float(v) for v in mel_profile]
 
 
+def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample to a canonical rate — the audio analog
+    of image resize in a multimodal pipeline (a training corpus normalizes
+    every clip to one sample rate before featurization).  Deterministic,
+    vectorized (np.interp), int16 in/out.  Linear interpolation is the
+    honest in-sandbox kernel; a production deployment swaps in a windowed-
+    sinc/polyphase resampler behind the same signature."""
+    if sr_from == sr_to or pcm.size == 0:
+        return pcm
+    n_out = int(round(pcm.size * sr_to / float(sr_from)))
+    if n_out <= 0:
+        return pcm[:0]
+    # sample positions in source index space; endpoint-aligned
+    pos = np.arange(n_out, dtype=np.float64) * (pcm.size - 1) / max(n_out - 1, 1)
+    out = np.interp(pos, np.arange(pcm.size), pcm.astype(np.float32))
+    return np.clip(np.rint(out), -32768, 32767).astype("<i2")
+
+
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     """SNR of decoded (int16-normalized) vs the float reference signal."""
     ref = np.asarray(reference, dtype=np.float64)

@@ -153,3 +153,61 @@ def test_frame_features_degenerate():
     payload = np.zeros(16000, dtype="<i2").tobytes()
     sil, flat, mel = audio_core.frame_features(payload, -1)
     assert sil == 1.0 and len(mel) == audio_core.N_MELS
+
+
+def test_resample_preserves_tone():
+    """Resample 8k->16k->8k: a band-limited tone survives with SNR >= 25 dB
+    and rms within 2%; lengths scale by the rate ratio."""
+    sr = 8000
+    ref = _tone(sr, 1.0, 400.0, 0.4)
+    pcm = (ref * 32767.0).astype("<i2")
+    up = audio_core.resample_linear(pcm, sr, 16000)
+    assert abs(up.size - 2 * sr) <= 2
+    down = audio_core.resample_linear(up, 16000, sr)
+    assert abs(down.size - sr) <= 2
+    m = min(ref.size, down.size)
+    assert audio_core.snr_db(ref[:m], down[:m]) >= 25.0
+    rms_in = np.sqrt(np.mean(pcm.astype(np.float64) ** 2))
+    rms_out = np.sqrt(np.mean(down.astype(np.float64) ** 2))
+    assert abs(rms_out - rms_in) / rms_in < 0.02
+
+
+def test_resample_degenerate():
+    empty = np.zeros(0, dtype="<i2")
+    assert audio_core.resample_linear(empty, 8000, 16000).size == 0
+    one = np.ones(1, dtype="<i2")
+    assert audio_core.resample_linear(one, 8000, 16000).size == 2
+    same = np.arange(10, dtype="<i2")
+    assert audio_core.resample_linear(same, 16000, 16000) is same
+
+
+def test_resample_clips_spark_matches_numpy(spark, clips_t1):
+    """The resample transform stage agrees with the direct numpy path for
+    every decodable clip (checksum + length), and emits nulls for
+    undecodable/invalid-sr rows."""
+    import hashlib
+
+    import pandas as pd
+
+    from engine import config
+    from engine.operators import pipeline, transform
+
+    path, clips_pd, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    got = (transform.resample_clips(clips).toPandas()
+           .set_index("clip_id").sort_index())
+    sample = clips_pd.sample(60, random_state=7)
+    for r in sample.itertuples(index=False):
+        sr = int(r.sr_hz) if pd.notna(r.sr_hz) else None
+        pcm = audio_core.decode_payload(
+            bytes(r.bytes) if r.bytes is not None else None,
+            config.canon_codec(r.codec))
+        row = got.loc[r.clip_id]
+        if sr is None or sr < 1000 or pcm is None or pcm.size == 0:
+            assert pd.isna(row["resampled_checksum"]) or \
+                row["resampled_checksum"] is None
+            continue
+        out = audio_core.resample_linear(pcm, sr, transform.TARGET_SR)
+        assert row["n_samples_out"] == out.size
+        assert row["resampled_checksum"] == \
+            hashlib.blake2b(out, digest_size=16).hexdigest()

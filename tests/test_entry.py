@@ -40,7 +40,7 @@ def test_every_query_has_callable_signature():
     assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
                                    "clips_lineage", "clips_stream_ingest",
                                    "clips_eval_report", "clips_audio_topk",
-                                   "clips_eval_by_region"}
+                                   "clips_eval_by_region", "clips_resample"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
