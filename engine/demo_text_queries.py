@@ -294,6 +294,35 @@ WHERE len(da.toks) * 5 >= len(db.toks) * 4
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats — the wordcount of training-data pipelines:
+    per-token document frequency + total occurrences, top 25 by document
+    frequency (ties broken by token).  One explode + one hash agg; at
+    corpus scale the token is the shuffle key and partial aggregation
+    bounds the map-side output by vocabulary size, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    stats = (toks.where(F.col("tok") != "")
+             .groupBy("tok")
+             .agg(F.countDistinct("doc_id").alias("doc_freq"),
+                  F.count("*").alias("n_occurrences")))
+    return (stats.orderBy(F.desc("doc_freq"), F.desc("n_occurrences"),
+                          F.asc("tok"))
+            .limit(25))
+
+
+SQL_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents)
+SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS n_occurrences
+FROM toks WHERE tok <> ''
+GROUP BY tok
+ORDER BY doc_freq DESC, n_occurrences DESC, tok ASC
+LIMIT 25
+"""
+
+
 SAMPLE_RATES = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 1.0, "fr": 1.0}
 _HASH_DENOM = float(1 << 32)
 
@@ -467,9 +496,11 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "repair_rescore": q_repair_rescore,
     "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLE_SQL = {
+    "vocab_topk": SQL_VOCAB_TOPK,
     "repair_rescore": SQL_REPAIR_RESCORE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "text_quality": SQL_TEXT_QUALITY,
