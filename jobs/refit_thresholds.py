@@ -33,8 +33,8 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from engine import config, refit
-    from engine.operators import pipeline, scoring
+    from engine import config, refit, sources
+    from engine.operators import scoring
 
     spark = (SparkSession.builder.appName("clip-quality-refit")
              .config("spark.sql.adaptive.enabled", "true")
@@ -47,7 +47,7 @@ def main() -> int:
     if args.scored:
         scored = spark.read.parquet(args.input)
     else:
-        scored = scoring.score_clips(pipeline.read_clips(spark, args.input))
+        scored = scoring.score_clips(sources.read_clips_table(spark, args.input))
 
     proposal = refit.refit_thresholds(scored)
     with open(args.output, "w") as f:

@@ -32,7 +32,7 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from engine import config, lineage
+    from engine import config, lineage, sources
     from engine.operators import pipeline
 
     spark = (SparkSession.builder.appName("clip-quality-pipeline")
@@ -44,7 +44,7 @@ def main() -> int:
              .getOrCreate())
 
     t0 = time.time()
-    clips = pipeline.read_clips(spark, args.input)
+    clips = sources.read_clips_table(spark, args.input)
     if args.no_checkpoint:
         labels, metrics = pipeline.run_pipeline_with_metrics(clips)
         (labels.repartition("part_id").write.mode("overwrite")

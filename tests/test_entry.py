@@ -58,3 +58,19 @@ def test_query_matches_duckdb(spark, ddb, name):
 def test_rows_only_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_sources_resolver(spark, clips_t1, tmp_path):
+    """Table-ref resolution: parquet paths read schema-asserted; an
+    iceberg: ref without the runtime fails fast with an actionable
+    message, not a raw Py4J trace."""
+    import pytest
+
+    from engine import sources
+
+    path, _, _ = clips_t1
+    df = sources.read_clips_table(spark, path)
+    assert df.count() > 0 and "clip_id" in df.columns
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        sources.read_clips_table(spark, "iceberg:db.clips")
