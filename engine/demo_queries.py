@@ -547,6 +547,81 @@ FROM nx WHERE lat2 IS NOT NULL
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark lacks natively, composed scale-right:
+    for each 'click' event, the most recent 'signup' of the same user at or
+    before its timestamp.  Instead of a per-row probe join, tag signup
+    timestamps and take a running last_value(ignorenulls) over the user
+    window — ONE shuffle by user_id, linear in the partition.  Tie rule:
+    a signup at the exact click timestamp matches (>= semantics), enforced
+    by sorting signups before clicks at equal ts.  Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    is_sig = (F.col("event_type") == "signup").cast("int")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), is_sig.desc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = (ev.withColumn("sig_ts", F.when(is_sig == 1, F.col("ts")))
+          .withColumn("asof_ts", F.last("sig_ts", ignorenulls=True).over(w)))
+    return (df.where(F.col("event_type") == "click")
+            .select("event_id", "user_id",
+                    F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("signup_ts"),
+                    (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+                    .alias("gap_s")))
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+s AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT c.event_id, c.user_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       CAST(FLOOR(EPOCH(c.ts)) - FLOOR(EPOCH(s.ts)) AS BIGINT) AS gap_s
+FROM c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+"""
+
+
+RANGE_JOIN_WINDOW_S = 300
+
+
+def q_range_join(spark, sf_dir):
+    """Range join, bucketized: pairs of same-user events within 300 s of
+    each other.  A theta join on |ta - tb| <= W is O(n^2) per user; binning
+    timestamps into W-second buckets and exploding one side into
+    {bin-1, bin, bin+1} turns it into an equi-join on (user_id, bin) with
+    bounded 3x fan-out — the standard range-join-as-equi-join rewrite.
+    Each qualifying pair matches exactly once (the right row's bin is one
+    of the left row's three), so no dedup pass is needed.  Oracle: plain
+    inequality join in DuckDB."""
+    w = RANGE_JOIN_WINDOW_S
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", F.unix_timestamp("ts").alias("s"))
+    bin_ = F.floor(F.col("s") / w).cast("long")
+    a = base.select(
+        "user_id", F.col("event_id").alias("event_a"), F.col("s").alias("sa"),
+        F.explode(F.array(*[(bin_ + d).cast("long") for d in (-1, 0, 1)]))
+        .alias("bin"))
+    b = base.select(
+        "user_id", F.col("event_id").alias("event_b"), F.col("s").alias("sb"),
+        bin_.alias("bin"))
+    return (a.join(b, ["user_id", "bin"])
+            .where((F.col("event_a") < F.col("event_b"))
+                   & (F.abs(F.col("sb") - F.col("sa")) <= w))
+            .select("user_id", "event_a", "event_b",
+                    (F.col("sb") - F.col("sa")).alias("dt_s")))
+
+
+SQL_RANGE_JOIN = f"""
+WITH t AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s
+           FROM events)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       b.s - a.s AS dt_s
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND ABS(b.s - a.s) <= {RANGE_JOIN_WINDOW_S}
+"""
+
+
 def q_geodesic_midpoint(spark, sf_dir):
     """C2: geodesic midpoint between consecutive per-user points — the
     great-circle analog of the reference's project->average->reproject
@@ -662,11 +737,15 @@ QUERIES = {
     "interp_midpoint": q_interp_midpoint,
     "haversine_adjacent": q_haversine_adjacent,
     "geodesic_midpoint": q_geodesic_midpoint,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "json_extract": q_json_extract,
 }
 
 ORACLE_SQL = {
     "geodesic_midpoint": SQL_GEODESIC_MIDPOINT,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "windowed_event_stats": SQL_WINDOWED_EVENT_STATS,
     "scan_project_cast": SQL_SCAN_PROJECT_CAST,
     "filter_bounds": SQL_FILTER_BOUNDS,
