@@ -12,6 +12,7 @@ from .demo_queries import _t
 
 _STOPWORDS = ("the", "a", "of")
 JACCARD_BUCKET_CAP = 64  # skip boilerplate mega-buckets in the pair join
+_HASH_DENOM = float(1 << 32)  # md5-first-8-hex fraction denominator
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 _MARKERS = ("scan", "join", "window")
 
@@ -294,6 +295,79 @@ WHERE len(da.toks) * 5 >= len(db.toks) * 4
 """
 
 
+def q_report_rollup(spark, sf_dir):
+    """Hierarchical rollup report: per-(lang, source) counts with lang
+    subtotals and a grand total in ONE aggregation pass (GROUP BY ROLLUP)
+    — the one-pass form of the reference's repeated per-stratum summary
+    tables (Step6-Evaluation.R:100-127 recomputes each level separately).
+    Subtotal rows are distinguished by grouping flags, not null-sniffing,
+    so null data values would not be confused with rollup levels."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.grouping("lang").cast("int").alias("g_lang"),
+                 F.grouping("source").cast("int").alias("g_source"),
+                 F.count("*").alias("n_docs"),
+                 F.round(F.avg(F.length("text")), 4).alias("avg_chars"))
+            .select(F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    F.coalesce("source", F.lit("<all>")).alias("source"),
+                    "g_lang", "g_source", "n_docs", "avg_chars"))
+
+
+SQL_REPORT_ROLLUP = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+KMV_K = 64
+
+
+def q_distinct_kmv(spark, sf_dir):
+    """Deterministic KMV (k-minimum-values) cardinality sketch over the
+    corpus vocabulary, next to the exact count.  Unlike HLL
+    (approx_count_distinct), KMV over md5 hash fractions is bit-identical
+    across engines/runs, so the ORACLE can gate a SKETCH: estimate =
+    (K-1) / kth_smallest_hash_fraction.  At corpus scale the sketch is
+    mergeable (union the per-partition K smallest) and sized O(K), the
+    same role HLL plays in production counters."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    hf = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+          / F.lit(_HASH_DENOM))
+    kth = (toks.select(hf.alias("hf")).orderBy("hf").limit(KMV_K)
+           .agg(F.max("hf").alias("kth"), F.count("*").alias("k")))
+    exact = toks.agg(F.count("*").alias("n_exact"))
+    return (exact.crossJoin(kth)
+            .select("n_exact", "k",
+                    F.round("kth", 9).alias("kth_frac"),
+                    F.round((F.col("k") - 1) / F.col("kth"), 2)
+                    .alias("kmv_estimate")))
+
+
+SQL_DISTINCT_KMV = rf"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+hf AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) / {_HASH_DENOM} AS hf
+  FROM t2),
+kth AS (
+  SELECT MAX(hf) AS kth, COUNT(*) AS k
+  FROM (SELECT hf FROM hf ORDER BY hf LIMIT {KMV_K}) q),
+exact AS (SELECT COUNT(*) AS n_exact FROM t2)
+SELECT n_exact, k, ROUND(kth, 9) AS kth_frac,
+       ROUND((k - 1) / kth, 2) AS kmv_estimate
+FROM exact, kth
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary stats — the wordcount of training-data pipelines:
     per-token document frequency + total occurrences, top 25 by document
@@ -324,7 +398,6 @@ LIMIT 25
 
 
 SAMPLE_RATES = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 1.0, "fr": 1.0}
-_HASH_DENOM = float(1 << 32)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -497,10 +570,14 @@ QUERIES = {
     "repair_rescore": q_repair_rescore,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "report_rollup": q_report_rollup,
+    "distinct_kmv": q_distinct_kmv,
 }
 
 ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
+    "report_rollup": SQL_REPORT_ROLLUP,
+    "distinct_kmv": SQL_DISTINCT_KMV,
     "repair_rescore": SQL_REPAIR_RESCORE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "text_quality": SQL_TEXT_QUALITY,
