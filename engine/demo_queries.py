@@ -714,7 +714,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_session_window_stats(spark, sf_dir):
+    """Native session-window aggregation (F.session_window, 30-min gap):
+    per (user, session) event count, value sum and span.  For point
+    events Spark's merge semantics equal gaps-and-islands, which is how
+    the DuckDB oracle derives the same sessions (LAG -> gap flag ->
+    running sum -> group).  Streaming-ready: the same expression runs
+    under a watermark with state eviction per closed session."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    return (ev.groupBy("user_id", sw.alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("value_sum"),
+                 F.min("event_id").alias("first_event_id"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "value_sum", "first_event_id"))
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+  FROM flagged)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum,
+       MIN(event_id) AS first_event_id
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Native pivot operator: per-user event counts spread into one column
+    per event type (fixed value list, so no extra distinct-values job) —
+    the wide form of conditional_agg's CASE aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", ["click", "view", "signup", "error"])
+            .agg(F.count(F.lit(1)))
+            .select("user_id",
+                    F.coalesce("click", F.lit(0)).alias("n_click"),
+                    F.coalesce("view", F.lit(0)).alias("n_view"),
+                    F.coalesce("signup", F.lit(0)).alias("n_signup"),
+                    F.coalesce("error", F.lit(0)).alias("n_error")))
+
+
+SQL_PIVOT_COUNTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "session_window_stats": q_session_window_stats,
+    "pivot_counts": q_pivot_counts,
     "windowed_event_stats": q_windowed_event_stats,
     "scan_project_cast": q_scan_project_cast,
     "filter_bounds": q_filter_bounds,
@@ -743,6 +812,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "session_window_stats": SQL_SESSION_WINDOW_STATS,
+    "pivot_counts": SQL_PIVOT_COUNTS,
     "geodesic_midpoint": SQL_GEODESIC_MIDPOINT,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
