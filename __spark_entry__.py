@@ -169,12 +169,13 @@ def _q_clips_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _clips_path(spark)
     out = os.path.join(tempfile.gettempdir(), "spark_graft_stream_entry")
     shutil.rmtree(out, ignore_errors=True)
-    # 16 files/trigger over the 64-partition entry table = 4 micro-batches:
-    # still exercises multi-batch semantics, without paying the fused
-    # pipeline's per-batch fixed cost 8 times on 800 rows
+    # 32 files/trigger over the 64-partition entry table = 2 micro-batches:
+    # still exercises multi-batch semantics (fine-grained batching is gated
+    # in tests/test_streaming.py), without paying the fused pipeline's
+    # per-batch fixed cost 8 times on 800 rows
     q = stream_pipeline.start_stream(
         spark, src, f"{out}/data", f"{out}/ckpt", available_now=True,
-        max_files_per_trigger=16)
+        max_files_per_trigger=32)
     q.awaitTermination()
     labels = spark.read.parquet(f"{out}/data/labels")
     return labels.select("clip_id", "part_id", "keep", "drop_reason", "lang")

@@ -47,8 +47,12 @@ def start_stream(spark: SparkSession, input_path: str, output_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         labels = pipeline.run_pipeline(batch_df, persist=True)
-        # per-batch directory + overwrite = idempotent under batch retry
-        (labels.write.mode("overwrite").partitionBy("part_id")
+        # repartition by the partition column so each part_id dir gets one
+        # file per batch (otherwise every shuffle partition contributes a
+        # sliver file to every dir); per-batch directory + overwrite =
+        # idempotent under batch retry
+        (labels.repartition("part_id")
+         .write.mode("overwrite").partitionBy("part_id")
          .parquet(f"{output_path}/labels/batch_id={batch_id}"))
 
     writer = (stream.writeStream
