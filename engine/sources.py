@@ -23,10 +23,51 @@ line works on both storages.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from . import schema
+from . import config, schema
 
 ICEBERG_PREFIX = "iceberg:"
+
+# manifest CSV columns (the reference's CSV scan S1 grafted to multimodal
+# ingest: scalar metadata in CSV, heavy payloads as files on disk)
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("payload_file", T.StringType(), True),
+    T.StructField("sr_hz", T.IntegerType(), True),
+    T.StructField("dur_ms", T.IntegerType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("transcript", T.StringType(), True),
+])
+
+
+def ingest_manifest(spark: SparkSession, manifest_csv: str,
+                    payload_root: str) -> DataFrame:
+    """Multimodal ingest from a manifest: scalar columns from a CSV
+    (explicit schema — never inferSchema on a production feed) joined with
+    audio payloads read via Spark's `binaryFile` source, keyed by file
+    name.  Produces the engine's clips shape with part_id stamped, ready
+    for run_pipeline or a parquet/Iceberg write.
+
+    Scale shape: binaryFile splits by file and prunes to (path, content);
+    the join key is the unique file name, so it is a plain equi-join that
+    AQE broadcasts when the manifest side is small.  Rows whose
+    payload_file is null or missing on disk keep a null `bytes` column
+    (the pipeline's missing-payload path), never an error."""
+    m = (spark.read.schema(MANIFEST_SCHEMA)
+         .option("header", True).csv(manifest_csv))
+    payloads = (spark.read.format("binaryFile").load(payload_root)
+                .select(F.element_at(F.split("path", "/"), -1).alias("payload_file"),
+                        F.col("content").alias("bytes")))
+    df = (m.join(payloads, "payload_file", "left")
+          .withColumn("part_id",
+                      F.pmod(F.xxhash64("clip_id"),
+                             F.lit(config.N_PARTS)).cast("int"))
+          .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                  "transcript", "part_id"))
+    schema.assert_clips_schema(df)
+    return df
 
 
 def read_clips_table(spark: SparkSession, ref: str) -> DataFrame:

@@ -74,3 +74,54 @@ def test_sources_resolver(spark, clips_t1, tmp_path):
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         sources.read_clips_table(spark, "iceberg:db.clips")
+
+
+def test_ingest_manifest_matches_direct_table(spark, tmp_path):
+    """Manifest-CSV + binaryFile ingest produces the same labels as the
+    same clips written directly as a table; a manifest row with a missing
+    payload file flows through as null bytes (missing-payload path)."""
+    import csv
+
+    import pandas as pd
+
+    from engine import fixtures, sources
+    from engine.operators import pipeline
+
+    clips_pd, _ = fixtures.generate_clips(120, seed=11, profile="test")
+    clips_pd = clips_pd.head(60)
+
+    pay = tmp_path / "payloads"
+    pay.mkdir()
+    rows = []
+    for i, r in enumerate(clips_pd.itertuples(index=False)):
+        fname = None
+        if r.bytes is not None and i % 10 != 7:  # every 10th-ish: no file
+            fname = f"{r.clip_id}.raw"
+            (pay / fname).write_bytes(bytes(r.bytes))
+        rows.append((r.clip_id, fname or "", r.sr_hz, r.dur_ms,
+                     r.codec, r.transcript))
+    man = tmp_path / "manifest.csv"
+    with open(man, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["clip_id", "payload_file", "sr_hz", "dur_ms",
+                    "codec", "transcript"])
+        w.writerows(rows)
+
+    ingested = sources.ingest_manifest(spark, str(man), str(pay))
+    got = ingested.toPandas().sort_values("clip_id").reset_index(drop=True)
+    assert len(got) == 60
+
+    # payload parity where a file exists; null bytes where it doesn't
+    by_id = clips_pd.set_index("clip_id")
+    for r in got.itertuples(index=False):
+        orig = by_id.loc[r.clip_id]
+        has_file = orig.bytes is not None and \
+            list(by_id.index).index(r.clip_id) % 10 != 7
+        if has_file:
+            assert bytes(r.bytes) == bytes(orig.bytes)
+        else:
+            assert r.bytes is None
+
+    # end-to-end: pipeline over the ingested frame runs and labels every row
+    labels = pipeline.run_pipeline(ingested).toPandas()
+    assert len(labels) == 60 and labels["clip_id"].is_unique
