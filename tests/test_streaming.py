@@ -208,3 +208,49 @@ def test_reconcile_corrects_cross_batch_dups_only(spark, clips_t1, tmp_path):
         .select("clip_id", "keep", "drop_reason").toPandas() \
         .sort_values("clip_id").reset_index(drop=True)
     assert b.equals(b2)
+
+
+def test_stream_dup_flags_cross_batch(spark, tmp_path):
+    """Stateful cross-batch dedup: a checksum seen in an earlier
+    micro-batch flags later occurrences (the within-batch-only limitation
+    this operator removes); within a batch the smallest clip_id is
+    canonical; null checksums never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.streaming import stateful
+
+    src = tmp_path / "scored_src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        tbl = pa.table({
+            "clip_id": [r[0] for r in rows],
+            "pcm_checksum": [r[1] for r in rows],
+        })
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        import os
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: ckA twice (within-batch dup), ckB once
+    _write("a.parquet", [("c01", "ckA"), ("c02", "ckA"), ("c03", "ckB"),
+                         ("c04", None)], 1_000_000)
+    # batch 2: ckA again (cross-batch dup), ckC new
+    _write("b.parquet", [("c05", "ckA"), ("c06", "ckC")], 2_000_000)
+
+    stream = (spark.readStream
+              .schema("clip_id string, pcm_checksum string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(str(src)))
+    q = (stateful.stream_dup_flags(stream)
+         .writeStream.format("memory").queryName("dup_flags")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.table("dup_flags").toPandas()
+           .set_index("clip_id")["f_stream_dup"].to_dict())
+    assert got == {"c01": False, "c02": True, "c03": False,
+                   "c05": True, "c06": False}
