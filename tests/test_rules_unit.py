@@ -4,6 +4,7 @@ the granularity the reference lacks (SURVEY §5.2-2)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from engine import config
@@ -141,3 +142,37 @@ def test_model_flag_dur_mismatch(spark):
     # RULE_ORDER's concern (UNDECODABLE sits earlier)
     und = "f_" + config.RULE_UNDECODABLE
     assert f.loc["undec", und] and not f.loc["exact", und]
+
+
+def test_repair_normalize_engine_oracle_parity(spark):
+    """normalize_col (Java regex) and the oracle's _normalize (Python re)
+    must agree byte-for-byte on adversarial inputs: ASCII whitespace and
+    control chars collapse; unicode spaces (NBSP, ideographic space,
+    zero-width) deliberately do NOT (the classes are ASCII-explicit
+    because Java \\s and Python re \\s disagree on unicode).  Also
+    idempotent: normalizing twice changes nothing."""
+    import numpy as np
+
+    from engine.operators import repair
+    from tests import oracle
+
+    rng = np.random.default_rng(99)
+    alphabet = (list("abcXYZ09.!") + [" ", "\t", "\n", "\x0b", "\f", "\r"]
+                + ["\x00", "\x07", "\x1f", "\x7f"]
+                + ["\u00a0", "\u2009", "\u3000", "\u200b", "\u00e9", "\u4e2d"])
+    samples = ["", " ", "\x00\x01", "  ", "a  b", "\ta\tb\t"]
+    for _ in range(300):
+        n = int(rng.integers(0, 40))
+        samples.append("".join(rng.choice(alphabet) for _ in range(n)))
+
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["n"] for r in
+           df.select(repair.normalize_col(F.col("t")).alias("n")).collect()]
+    for s, g in zip(samples, got):
+        o = oracle._normalize(s)
+        assert g == o, repr((s, g, o))
+        assert oracle._normalize(o) == o  # idempotence
+    # the unicode-space design decision, pinned explicitly: NBSP survives,
+    # ASCII runs collapse
+    assert oracle._normalize("a\u00a0\u00a0b") == "a\u00a0\u00a0b"
+    assert oracle._normalize("a  b") == "a b"
