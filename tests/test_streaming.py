@@ -254,3 +254,38 @@ def test_stream_dup_flags_cross_batch(spark, tmp_path):
            .set_index("clip_id")["f_stream_dup"].to_dict())
     assert got == {"c01": False, "c02": True, "c03": False,
                    "c05": True, "c06": False}
+
+
+def test_compact_labels_canonicalizes_stream_output(spark, clips_t1, tmp_path):
+    """Compaction folds the per-batch label dirs into one partitioned
+    table with the same rows, fewer files, and highest-batch-id wins on
+    (hypothetical) duplicate clip_ids."""
+    import glob
+
+    import jobs.compact_labels as cl
+    from engine.streaming import stream_pipeline
+
+    path, _, _ = clips_t1
+    out = str(tmp_path / "stream_out")
+    q = stream_pipeline.start_stream(
+        spark, path, out, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    src = f"{out}/labels"
+    before = spark.read.parquet(src)
+    compacted = cl.compact(spark, src, str(tmp_path / "canonical"))
+
+    assert compacted.count() == before.count()
+    a = (before.select("clip_id", "keep", "drop_reason").toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = (compacted.select("clip_id", "keep", "drop_reason").toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    assert a.equals(b)
+    # source: one directory per micro-batch; canonical: flat part_id dirs
+    # with at most one file each (the compaction's whole point)
+    assert len(glob.glob(f"{src}/batch_id=*")) > 1
+    assert not glob.glob(str(tmp_path / "canonical") + "/batch_id=*")
+    part_dirs = glob.glob(str(tmp_path / "canonical") + "/part_id=*")
+    assert part_dirs
+    for d in part_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
