@@ -44,3 +44,29 @@ def test_refit_is_deterministic_and_in_window(spark, clips_t1):
     assert 0.0 < prop["SILENCE_RATIO_MAX"] < 1.0
     assert p1["rule_version"] and p1["n_rows"] > 0
     assert p1["current"]["PPL_MAX"] == 90.0
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The corpus-scale percentile path: percentile_approx with accuracy K
+    guarantees rank error <= n/K.  The refit/quantile queries use exact
+    percentile (driver-gated determinism); at 10^12 rows a job swaps in
+    approx — this pins that the swap stays within its documented bound on
+    a known distribution."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3.0, 1.0, 20_000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    row = df.select(
+        F.expr("percentile(v, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.expr("percentile_approx(v, array(0.5, 0.9, 0.99), 1000)")
+        .alias("approx")).first()
+    svals = sorted(vals)
+    n = len(svals)
+    for e, a in zip(row["exact"], row["approx"]):
+        # rank error bound: approx value's rank within n/1000 of exact's
+        import bisect
+        re_ = bisect.bisect_left(svals, e)
+        ra = bisect.bisect_left(svals, a)
+        assert abs(re_ - ra) <= n // 1000 + 1, (e, a, re_, ra)
