@@ -2,7 +2,10 @@
 sample rate -> feature/checksum, in ONE Arrow crossing.
 
 The audio analog of the image-resize / video-frame-sample preprocessing
-stage of a multimodal training pipeline: every clip is normalized to one
+stage of a multimodal training pipeline (reference analog: the Step1
+decode-and-reformat pass that normalizes every trajectory into one
+canonical representation before any rule runs,
+Step1-Read-Data-Formatting.R:16-34,59-62): every clip is normalized to one
 sample rate before featurization or model consumption.  Same UDF
 discipline as scoring: codec-dispatched decode (never PCM-interpreting
 compressed bytes), batch iterator (no per-row Python), `bytes` consumed

@@ -1,6 +1,10 @@
 """Clips table source resolution — Iceberg when available, layout-
 compatible partitioned parquet otherwise.
 
+Reference analogs: the raw CSV scan S1 (Step1-Read-Data-Formatting.R:2-3,
+explicit column handling) for `ingest_manifest`'s metadata side, and the
+polyline-decode source S5 (Step1:16-32) for its payload side.
+
 north_rule targets an Iceberg table of clip + transcript pairs.  This
 sandbox ships no Iceberg runtime jar (verified: no iceberg-spark-runtime
 on the classpath), so the engine's storage contract is defined at the

@@ -4,6 +4,10 @@ one canonical partitioned table.
     spark-submit --py-files engine.zip jobs/compact_labels.py \
         --input /path/stream_out/data/labels --output /path/labels_canonical
 
+Reference analog: the single CSV checkpoint the reference materializes
+between phases (S2, Step1-Read-Data-Formatting.R:109) — generalized here
+to a periodic rewrite that keeps the accumulated output scannable.
+
 The streaming ingest writes labels under `labels/batch_id=N/part_id=K/`
 (idempotent per-batch dirs — stream_pipeline).  Over days that is
 thousands of small files per partition: a real 10^12-row operational
