@@ -295,6 +295,65 @@ WHERE len(da.toks) * 5 >= len(db.toks) * 4
 """
 
 
+WINNOW_K = 8   # k-gram length
+WINNOW_W = 16  # winnowing window (min hash per window of consecutive k-grams)
+
+
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (the classic rolling-hash document
+    fingerprinting scheme: hash every k-gram, keep the minimum hash in
+    each sliding window of w consecutive k-grams — guarantees any match
+    of length >= w+k-1 shares a fingerprint).  Per doc: the distinct
+    selected fingerprints, reported as count + the smallest fingerprint
+    (a compact doc signature).  Everything is md5-derived so Spark and
+    DuckDB select identical fingerprints; position explosion keys every
+    shuffle by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    base = (d.select("doc_id", norm.alias("nt"))
+            .where(F.length("nt") >= WINNOW_K))
+    pos = (base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("nt") - WINNOW_K + 1))
+        .alias("p"),
+        "nt"))
+    h = (F.conv(F.substring(F.md5(F.substring(F.col("nt"), F.col("p"),
+                                              WINNOW_K)), 1, 8), 16, 10)
+         .cast("long"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("doc_id").orderBy("p")
+         .rowsBetween(0, WINNOW_W - 1))
+    fps = (pos.select("doc_id", "p", h.alias("h"))
+           .withColumn("wmin", F.min("h").over(w))
+           .select("doc_id", "wmin").distinct())
+    return (fps.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fingerprints"),
+                 F.min("wmin").alias("min_fingerprint")))
+
+
+SQL_DOC_WINNOW_FINGERPRINT = f"""
+WITH base AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nt
+  FROM documents),
+pos AS (
+  SELECT doc_id, nt, unnest(range(1, LENGTH(nt) - {WINNOW_K} + 2)) AS p
+  FROM base WHERE LENGTH(nt) >= {WINNOW_K}),
+hashes AS (
+  SELECT doc_id, p,
+         CAST(('0x' || substr(md5(substr(nt, CAST(p AS INT), {WINNOW_K})),
+                              1, 8)) AS BIGINT) AS h
+  FROM pos),
+wmins AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin
+  FROM hashes)
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(wmin) AS min_fingerprint
+FROM wmins GROUP BY doc_id
+"""
+
+
 def q_report_rollup(spark, sf_dir):
     """Hierarchical rollup report: per-(lang, source) counts with lang
     subtotals and a grand total in ONE aggregation pass (GROUP BY ROLLUP)
@@ -572,9 +631,11 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "report_rollup": q_report_rollup,
     "distinct_kmv": q_distinct_kmv,
+    "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
 }
 
 ORACLE_SQL = {
+    "doc_winnow_fingerprint": SQL_DOC_WINNOW_FINGERPRINT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "report_rollup": SQL_REPORT_ROLLUP,
     "distinct_kmv": SQL_DISTINCT_KMV,
