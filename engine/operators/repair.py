@@ -113,7 +113,13 @@ def with_repair(df: DataFrame) -> DataFrame:
     cleared text flags.  Runs BEFORE model flags and dedup so both see the
     repaired values (a repaired transcript participates in dup groups)."""
     t = F.col("transcript")
-    norm = normalize_col(t)
+    # guard the normalization behind the candidate flags: the two regex
+    # passes only run for rows that failed a text rule (few %), not the
+    # whole corpus; _norm stays null elsewhere and every predicate below
+    # collapses to false through null-conjunction semantics
+    norm = F.when(F.col("f_" + config.RULE_TXT_LEN)
+                  | F.col("f_" + config.RULE_CHAR_RATIO),
+                  normalize_col(t))
 
     # re-evaluate the text rules on the normalized text — same definitions
     # as heuristics.with_heuristic_flags
