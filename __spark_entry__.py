@@ -181,6 +181,59 @@ def _q_clips_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("clip_id", "part_id", "keep", "drop_reason", "lang")
 
 
+def _flags_parquet_path() -> str:
+    """Deterministic location of the materialized per-clip rule-flag table
+    (no pid: the DuckDB oracle SQL below must name the same path).  Keyed
+    by fixture + rule version so threshold or fixture changes can never
+    serve stale flags to the oracle."""
+    from engine import config, fixtures
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_flags_v{fixtures.FIXTURES_VERSION}_{config.rule_version()}")
+
+
+def _q_clips_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated decision layer (last mile of the flagship): the
+    engine's first-failing-rule-wins `when()` chain (decision.py) vs an
+    independent SQL CASE over the SAME materialized flag columns.  The
+    entry writes (clip_id, f_<rule>...) — exploded from the labels table's
+    rule_flags map — to a deterministic parquet, then returns keep/
+    drop_reason recomputed from that file; the DuckDB oracle reads the
+    file and recomputes them with a CASE chain in RULE_ORDER."""
+    from pyspark.sql import functions as F
+
+    from engine import config
+
+    labels = _labels_df(spark)
+    flags = labels.select(
+        "clip_id",
+        *[F.col("rule_flags")[r].alias(f"f_{r}") for r in config.RULE_ORDER])
+    path = _flags_parquet_path()
+    flags.coalesce(4).write.mode("overwrite").parquet(path)
+
+    flagged = spark.read.parquet(path)
+    reason = F.lit(None).cast("string")
+    for rule in reversed(config.RULE_ORDER):
+        reason = F.when(F.col(f"f_{rule}"), F.lit(rule)).otherwise(reason)
+    return (flagged
+            .withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .select("clip_id", "keep", "drop_reason"))
+
+
+def _sql_clips_decision() -> str:
+    from engine import config
+
+    whens = " ".join(f"WHEN f_{r} THEN '{r}'" for r in config.RULE_ORDER)
+    path = _flags_parquet_path()
+    return f"""
+WITH flags AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+dec AS (SELECT clip_id, CASE {whens} END AS drop_reason FROM flags)
+SELECT clip_id, (drop_reason IS NULL) AS keep, drop_reason FROM dec
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001: text-quality + dedup labeling of
     the documents table — the engine's keep/drop semantics applied to the
@@ -222,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clips_eval_by_region"] = _q_clips_eval_by_region
     out["clips_resample"] = _q_clips_resample
     out["clips_audio_topk"] = _q_clips_audio_topk
+    out["clips_decision"] = _q_clips_decision
     return out
 
 
@@ -230,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(demo_queries.ORACLE_SQL)
     out.update(demo_text_queries.ORACLE_SQL)
     out.update(demo_sim_queries.ORACLE_SQL)
-    # clips_* entries intentionally omitted: non-SQL-expressible (Arrow UDF
-    # decode + model scoring); gated instead by tests/test_pipeline_oracle.py
+    # other clips_* entries intentionally omitted: non-SQL-expressible
+    # (Arrow UDF decode + model scoring); gated by tests/test_pipeline_oracle.py
+    out["clips_decision"] = _sql_clips_decision()
     return out

@@ -23,6 +23,7 @@ stored column grafts the reference's recompute-and-check pattern
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
@@ -77,8 +78,101 @@ for _c in FAKE_MAGIC:
 
 def register_decoder(codec: str, fn) -> None:
     """Production hook: install a real decoder (bytes -> int16 ndarray or
-    None) for a canonical codec, e.g. a soundfile/ffmpeg-backed flac fn."""
+    None) for a canonical codec, e.g. a soundfile/ffmpeg-backed flac fn.
+
+    NOTE (executor semantics): Spark Python workers import this module
+    independently of the driver, so a registration made at driver runtime
+    does NOT propagate into `mapInPandas` workers.  Production
+    registrations therefore go through one of the import-time hooks below
+    — `autodetect_backends()` (probes installed libraries) or the
+    `SPARK_GRAFT_AUDIO_BACKENDS` module hook — both of which re-run in
+    every worker process at import."""
     _DECODERS[codec] = fn
+
+
+def chain_decoders(primary, fallback):
+    """Decoder that tries `primary` and falls back to `fallback` when it
+    returns None.  Used when installing a real backend so the deterministic
+    stand-in payloads (fixtures/tests) keep decoding: a genuine stream is
+    handled by the real library; a stand-in stream is rejected by it and
+    falls through to the stand-in decoder."""
+    def fn(payload):
+        out = primary(payload)
+        return out if out is not None else fallback(payload)
+    return fn
+
+
+def _make_soundfile_decoder(sf):
+    import io
+
+    def decode(payload: bytes) -> np.ndarray | None:
+        try:
+            data, _sr = sf.read(io.BytesIO(payload), dtype="int16",
+                                always_2d=False)
+        except Exception:
+            return None
+        arr = np.asarray(data)
+        if arr.ndim > 1:  # downmix multichannel deterministically
+            arr = np.rint(arr.mean(axis=1))
+        return np.ascontiguousarray(arr, dtype="<i2")
+    return decode
+
+
+# codec -> backend name actually serving it (introspection / logging)
+AVAILABLE_BACKENDS: dict[str, str] = {}
+
+
+def autodetect_backends() -> dict[str, str]:
+    """Probe for an installed real codec library and chain it in front of
+    the stand-in for every compressed codec it can serve.  Runs at module
+    import — i.e. once per driver AND once per executor Python worker, so
+    the registry is identical on both sides without any broadcast.
+    Returns {codec: backend} for what was found (empty in this sandbox:
+    no codec libraries are installed — documented in the module
+    docstring)."""
+    found: dict[str, str] = {}
+    try:
+        import soundfile as sf  # libsndfile: flac always; opus/mp3 >= 1.1
+    except Exception:
+        return found
+    real = _make_soundfile_decoder(sf)
+    try:
+        formats = {k.lower() for k in sf.available_formats()}
+    except Exception:
+        formats = {"flac"}
+    for codec in FAKE_MAGIC:
+        if codec in formats or codec == "mp3" and "mpeg" in formats:
+            _DECODERS[codec] = chain_decoders(real, _DECODERS[codec])
+            found[codec] = "soundfile"
+    AVAILABLE_BACKENDS.update(found)
+    return found
+
+
+def load_backend_module(path: str) -> dict[str, str]:
+    """Import-time hook for custom backends (works across executors): if
+    $SPARK_GRAFT_AUDIO_BACKENDS names a python file defining
+    ``DECODERS = {canon_codec: fn}``, each fn is chained in front of the
+    current decoder for that codec.  The env var propagates to every
+    Python worker (spark.executorEnv on a cluster), and each worker
+    re-runs this at import — the only registration pattern that survives
+    the driver/worker process split."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_spark_graft_backends", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    found: dict[str, str] = {}
+    for codec, fn in getattr(mod, "DECODERS", {}).items():
+        base = _DECODERS.get(codec)
+        _DECODERS[codec] = chain_decoders(fn, base) if base else fn
+        found[codec] = path
+    AVAILABLE_BACKENDS.update(found)
+    return found
+
+
+autodetect_backends()
+if os.environ.get("SPARK_GRAFT_AUDIO_BACKENDS"):
+    load_backend_module(os.environ["SPARK_GRAFT_AUDIO_BACKENDS"])
 
 
 def decode_payload(payload: bytes | None, canon_codec: str | None):

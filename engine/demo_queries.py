@@ -739,6 +739,10 @@ def q_session_window_stats(spark, sf_dir):
 SQL_SESSION_WINDOW_STATS = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
+         -- strict >: verified against Spark (tests/test_session_boundary),
+         -- session windows MERGE when they touch — an event at exactly
+         -- gap after its predecessor stays in the SAME session, so only
+         -- a strictly-larger gap starts a new one
          CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

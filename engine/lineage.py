@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import config
-from .operators import decision, dedup, heuristics, repair, scoring
+from .operators import decision, dedup, heuristics, scoring
 
 STATE_SCHEMA = T.StructType([
     T.StructField("part_id", T.IntegerType(), False),
@@ -87,8 +87,9 @@ def run_checkpointed(spark: SparkSession, clips: DataFrame, output_path: str,
     # ---- Stage B: global dup flags + decision (cheap, idempotent) --------
     scored_all = spark.read.parquet(scored_path) \
         .withColumn("part_id", F.col("part_id").cast("int"))
-    flagged = heuristics.with_model_flags(
-        repair.with_repair(heuristics.with_heuristic_flags(scored_all)))
+    # repair is fused into the Stage-A scoring UDF (scored rows already
+    # carry the repaired transcript + `repaired`), so Stage B is all-native
+    flagged = heuristics.with_model_flags(heuristics.with_heuristic_flags(scored_all))
     decided = decision.with_decision(dedup.with_dup_flags(flagged))
     labels = decision.to_labels(decided)
     (labels.repartition("part_id")

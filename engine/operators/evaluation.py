@@ -101,7 +101,14 @@ def corpus_report_by_dim(labels: DataFrame, dim: DataFrame,
                 .withColumn("speaker_id",
                             F.pmod(F.xxhash64("clip_id"),
                                    F.lit(n_speakers)).cast("int"))
-                .join(F.broadcast(dim), "speaker_id"))
+                # LEFT join + '<unknown>' bucket: an inner join would
+                # silently drop (and under-count) every label row whose
+                # speaker_id is missing from the dim — a dim smaller than
+                # n_speakers must surface as an <unknown> row, not as a
+                # wrong report
+                .join(F.broadcast(dim), "speaker_id", "left")
+                .withColumn("region", F.coalesce("region", F.lit("<unknown>")))
+                .withColumn("device", F.coalesce("device", F.lit("<unknown>"))))
     agg = enriched.groupBy("region", "device").agg(
         F.count("*").alias("n_total"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),

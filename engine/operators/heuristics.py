@@ -29,6 +29,23 @@ def canon_codec_col(codec: Column) -> Column:
     return F.coalesce(F.element_at(alias_map, lowered), lowered)
 
 
+def alpha_ratio_col(t: Column) -> Column:
+    """Unicode-letter fraction of the transcript (null when unevaluable).
+    Shared by the heuristic pass and the repair merge-back so repaired rows
+    never carry stats computed from the pre-repair text."""
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    return F.when(t.isNotNull() & (n_chars > 0),
+                  n_alpha.cast("double") / n_chars.cast("double"))
+
+
+def chars_per_sec_col(t: Column, dur: Column) -> Column:
+    """Transcript chars per second of audio (null when unevaluable)."""
+    n_chars = F.length(t)
+    return F.when(t.isNotNull() & (n_chars > 0) & dur.isNotNull() & (dur > 0),
+                  n_chars.cast("double") / (dur.cast("double") / F.lit(1000.0)))
+
+
 def with_heuristic_flags(df: DataFrame) -> DataFrame:
     """Adds canon_codec, alpha_ratio, chars_per_sec and one boolean flag
     column per heuristic rule (f_DUR_BOUNDS, ...)."""
@@ -38,11 +55,8 @@ def with_heuristic_flags(df: DataFrame) -> DataFrame:
     df = df.withColumn("canon_codec", canon_codec_col(F.col("codec")))
 
     n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
-    alpha_ratio = F.when(t.isNotNull() & (n_chars > 0),
-                         n_alpha.cast("double") / n_chars.cast("double"))
-    cps = F.when(t.isNotNull() & (n_chars > 0) & dur.isNotNull() & (dur > 0),
-                 n_chars.cast("double") / (dur.cast("double") / F.lit(1000.0)))
+    alpha_ratio = alpha_ratio_col(t)
+    cps = chars_per_sec_col(t, dur)
     df = df.withColumn("alpha_ratio", alpha_ratio).withColumn("chars_per_sec", cps)
 
     # DUR_BOUNDS: graft of `endtime > starttime` (Step1:66-68) + the

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from .. import schema
-from . import decision, dedup, heuristics, repair, scoring
+from . import decision, dedup, heuristics, scoring
 
 
 def read_clips(spark: SparkSession, path: str) -> DataFrame:
@@ -45,10 +45,12 @@ def run_pipeline(clips: DataFrame, persist: bool = True) -> DataFrame:
         # on the unfilled cache and re-execute the UDF subtree per branch
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         scored.count()
-    # repair sits between heuristic and model flags: rescued rows carry
-    # repaired transcripts into model flags AND dup grouping
-    flagged = heuristics.with_model_flags(
-        repair.with_repair(heuristics.with_heuristic_flags(scored)))
+    # repair-then-rescore already happened INSIDE the scoring UDF
+    # (repair.repair_batch, fused into scoring._score_batch): `transcript`
+    # is the final (possibly normalized) text and `repaired` its lineage,
+    # so heuristic flags, model flags, and dup grouping all see the
+    # repaired values with no extra stage
+    flagged = heuristics.with_model_flags(heuristics.with_heuristic_flags(scored))
     with_dups = dedup.with_dup_flags(flagged)
     decided = decision.with_decision(with_dups)
     return decision.to_labels(decided)

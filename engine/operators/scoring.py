@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .. import audio_core, config, lid_core, ppl_core, scrub_core, simhash_core
+from . import repair
 
 SCORED_FIELDS = [
     T.StructField("clip_id", T.StringType(), False),
@@ -40,6 +41,7 @@ SCORED_FIELDS = [
     T.StructField("dur_ms", T.IntegerType(), True),
     T.StructField("codec", T.StringType(), True),
     T.StructField("transcript", T.StringType(), True),
+    T.StructField("repaired", T.BooleanType(), False),
     T.StructField("decoded_dur_ms", T.IntegerType(), True),
     T.StructField("n_samples", T.IntegerType(), True),
     T.StructField("rms", T.DoubleType(), True),
@@ -88,7 +90,12 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         dec_dur[i], n_samp[i], rms[i], clip_ratio[i], checksum[i] = d, ns, r, cr, ck
         silence[i], flatness[i], mel[i] = sil, flat, mp
 
-    transcripts = pdf["transcript"].tolist()
+    # repair-then-rescore fused into this one crossing (repair.py module
+    # docstring explains why no separate rescore stage exists): candidates
+    # get normalized here, so scrub/LID/PPL/simhash below — and every
+    # downstream native rule — score the FINAL transcript
+    durs = [int(d) if pd.notna(d) else None for d in pdf["dur_ms"]]
+    transcripts, repaired = repair.repair_batch(pdf["transcript"].tolist(), durs)
     scrubbed, hits, severe = scrub_core.scrub_batch(transcripts)
     langs, margins = lid_core.score_batch(scrubbed)
     ppls = ppl_core.perplexity_batch(scrubbed, langs)
@@ -106,7 +113,8 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "sr_hz": pdf["sr_hz"].values,
         "dur_ms": pdf["dur_ms"].values,
         "codec": pdf["codec"].values,
-        "transcript": pdf["transcript"].values,
+        "transcript": transcripts,
+        "repaired": repaired,
         "decoded_dur_ms": pd.array(dec_dur, dtype="Int32"),
         "n_samples": pd.array(n_samp, dtype="Int32"),
         "rms": pd.array(rms, dtype="Float64"),

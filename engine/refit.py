@@ -84,10 +84,28 @@ def kmeans2_boundary(centers: np.ndarray, counts: np.ndarray) -> float:
     return float((mean_l + mean_r) / 2.0)
 
 
-def _percentiles(df: DataFrame, col: str, ps: list[float]) -> list[float]:
-    row = df.where(F.col(col).isNotNull()).select(
-        F.expr(f"percentile({col}, array({', '.join(map(str, ps))}))")
-        .alias("p")).first()
+# Exact `percentile` buffers every value per partition — fine for a test
+# corpus, an OOM at 10^12 rows.  Above this row count the guardrail
+# percentiles switch to percentile_approx (bounded-memory KLL-style sketch,
+# mergeable map-side); its rank-error bound at this accuracy is pinned by
+# tests/test_refit.py::test_approx_percentile_within_tolerance.
+EXACT_PERCENTILE_MAX_ROWS = 10_000_000
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+
+def _percentiles(df: DataFrame, col: str, ps: list[float],
+                 n_rows: int | None = None,
+                 exact: bool | None = None) -> list[float]:
+    """Guardrail percentiles: exact for small corpora, sketch above
+    EXACT_PERCENTILE_MAX_ROWS (or forced via `exact`)."""
+    if exact is None:
+        exact = n_rows is not None and n_rows <= EXACT_PERCENTILE_MAX_ROWS
+    arr = ", ".join(map(str, ps))
+    expr = (f"percentile({col}, array({arr}))" if exact else
+            f"percentile_approx({col}, array({arr}), "
+            f"{APPROX_PERCENTILE_ACCURACY})")
+    row = (df.where(F.col(col).isNotNull())
+           .select(F.expr(expr).alias("p")).first())
     return [float(v) for v in row["p"]]
 
 
@@ -102,11 +120,11 @@ def refit_thresholds(scored: DataFrame) -> dict:
     ppl_hi = float(config.PPL_MAX * 4)
     c, n = score_histogram(scored, "ppl_score", 0.0, ppl_hi)
     ppl_cut = kmeans2_boundary(c, n)
-    ppl_pcts = _percentiles(scored, "ppl_score", [0.5, 0.9, 0.99])
+    ppl_pcts = _percentiles(scored, "ppl_score", [0.5, 0.9, 0.99], n_rows)
 
     c, n = score_histogram(scored, "lid_margin", 0.0, 4.0)
     lid_cut = kmeans2_boundary(c, n)
-    lid_pcts = _percentiles(scored, "lid_margin", [0.01, 0.1, 0.5])
+    lid_pcts = _percentiles(scored, "lid_margin", [0.01, 0.1, 0.5], n_rows)
 
     c, n = score_histogram(scored, "silence_ratio", 0.0, 1.0)
     sil_cut = kmeans2_boundary(c, n)

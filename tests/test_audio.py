@@ -122,6 +122,95 @@ def test_register_decoder_hook():
         audio_core._DECODERS.pop("testcodec", None)
 
 
+def test_autodetect_backends_sandbox():
+    """No codec library in this sandbox: the probe must return empty and
+    leave the stand-in decoders functional (flac still roundtrips)."""
+    found = audio_core.autodetect_backends()
+    assert found == {}  # documented sandbox state; real deploys see flac+
+    pcm = (np.arange(64) % 7 * 100).astype("<i2").tobytes()
+    payload = audio_core.encode_fake_compressed(pcm, "flac")
+    assert audio_core.decode_payload(payload, "flac") is not None
+
+
+def test_registered_backend_end_to_end_scoring():
+    """A chained 'real' decoder flows end-to-end through the fused scoring
+    batch: a real-format payload decodes under the registered backend,
+    the stand-in format still decodes via the fallback, and after the
+    backend is removed the real-format payload lands in UNDECODABLE
+    (honesty: never PCM-interpreted)."""
+    import pandas as pd
+
+    from engine.operators import scoring
+
+    sr = 16000
+    pcm = (_tone(sr, 0.8, 300.0, 0.4) * 32767.0).astype("<i2").tobytes()
+    real_payload = b"REALfmt!" + pcm  # format only the fake backend reads
+    standin_payload = audio_core.encode_fake_compressed(pcm, "flac")
+
+    def fake_real(payload):
+        if not payload.startswith(b"REALfmt!"):
+            return None
+        return np.frombuffer(payload[8:], dtype="<i2")
+
+    def batch(codec="flac"):
+        pdf = pd.DataFrame({
+            "clip_id": ["real0", "standin0"],
+            "part_id": pd.array([0, 0], dtype="int32"),
+            "bytes": [real_payload, standin_payload],
+            "sr_hz": pd.array([sr, sr], dtype="Int32"),
+            "dur_ms": pd.array([800, 800], dtype="Int32"),
+            "codec": [codec, codec],
+            "transcript": ["a plain enough test sentence here ok"] * 2,
+        })
+        return scoring._score_batch(pdf).set_index("clip_id")
+
+    before = batch()
+    assert bool(before.loc["real0", "undecodable"])  # no backend yet
+    assert not bool(before.loc["standin0", "undecodable"])
+
+    old = audio_core._DECODERS["flac"]
+    audio_core.register_decoder(
+        "flac", audio_core.chain_decoders(fake_real, old))
+    try:
+        after = batch()
+        assert not bool(after.loc["real0", "undecodable"])
+        assert int(after.loc["real0", "n_samples"]) == sr * 8 // 10
+        # fallback chain keeps the stand-in format decodable
+        assert not bool(after.loc["standin0", "undecodable"])
+        # same audio -> same content checksum across the two containers
+        assert after.loc["real0", "pcm_checksum"] == \
+            after.loc["standin0", "pcm_checksum"]
+    finally:
+        audio_core._DECODERS["flac"] = old
+        audio_core.AVAILABLE_BACKENDS.pop("flac", None)
+
+
+def test_backend_module_env_hook(tmp_path):
+    """$SPARK_GRAFT_AUDIO_BACKENDS module hook: a file defining DECODERS
+    gets chained at import time (the pattern that reaches every executor
+    worker)."""
+    mod = tmp_path / "backends.py"
+    mod.write_text(
+        "import numpy as np\n"
+        "def _dec(payload):\n"
+        "    if not payload.startswith(b'XY'):\n"
+        "        return None\n"
+        "    return np.frombuffer(payload[2:], dtype='<i2')\n"
+        "DECODERS = {'opus': _dec}\n")
+    old = audio_core._DECODERS["opus"]
+    try:
+        found = audio_core.load_backend_module(str(mod))
+        assert found == {"opus": str(mod)}
+        pcm = (np.arange(32, dtype="<i2")).tobytes()
+        assert audio_core.decode_payload(b"XY" + pcm, "opus").size == 32
+        # fallback intact for the stand-in container
+        standin = audio_core.encode_fake_compressed(pcm, "opus")
+        assert audio_core.decode_payload(standin, "opus") is not None
+    finally:
+        audio_core._DECODERS["opus"] = old
+        audio_core.AVAILABLE_BACKENDS.pop("opus", None)
+
+
 def test_frame_features_tone_vs_silence():
     sr = 16000
     ref = _tone(sr, 1.0, 440.0, 0.3)

@@ -77,3 +77,22 @@ def test_report_by_dim_matches_pandas_and_broadcasts(spark, clips_t1):
     assert got["n_repaired"].tolist() == exp["n_repaired"].astype(int).tolist()
     assert (abs(got["keep_rate"]
                 - (exp["n_kept"] / exp["n_total"]).round(6)) < 1e-9).all()
+
+
+def test_by_dim_partial_dim_surfaces_unknown(spark, clips_t1):
+    """A dim table missing some speaker_ids must NOT silently drop label
+    rows: uncovered rows aggregate under ('<unknown>', '<unknown>') and
+    the report's n_total still sums to the full labels count."""
+    from engine import fixtures
+    from engine.operators import evaluation, pipeline
+
+    path, _, _ = clips_t1
+    labels = pipeline.run_pipeline(pipeline.read_clips(spark, path))
+    n_labels = labels.count()
+    # drop half the speakers from the dim
+    speakers = fixtures.generate_speakers(50, seed=42)
+    dim = spark.createDataFrame(speakers[speakers["speaker_id"] < 25])
+    rep = evaluation.corpus_report_by_dim(labels, dim, 50).toPandas()
+    assert int(rep["n_total"].sum()) == n_labels
+    unk = rep[(rep["region"] == "<unknown>") & (rep["device"] == "<unknown>")]
+    assert len(unk) == 1 and int(unk["n_total"].iloc[0]) > 0

@@ -58,6 +58,25 @@ def test_single_python_crossing_before_dedup(spark, clips_t1):
     assert "ArrowEvalPython" not in _plan(flagged)
 
 
+def test_repair_fused_no_extra_stage(spark, clips_t1):
+    """Repair-then-rescore is fused into the scoring UDF: it must add NO
+    Python crossing, join, union, or pinned repartition to the fused pass
+    (round 2 shipped a branch-union design with a hard-coded
+    `repartition(8)` — the repo's one named scale wart; this pins its
+    absence)."""
+    path, _, _ = clips_t1
+    clips = pipeline.read_clips(spark, path)
+    scored = scoring.score_clips(clips)
+    assert "repaired" in scored.columns  # lineage emitted by the fused UDF
+    plan = _plan(pipeline.run_pipeline(clips, persist=False))
+    assert "RoundRobinPartitioning(8" not in plan
+    assert "Union" not in plan
+    # no second Python stage shape: every MapInPandas occurrence is the one
+    # fused scoring UDF subtree (re-referenced by the dedup branches), so
+    # the count matches the scan count exactly
+    assert plan.count("MapInPandas") == plan.count("Scan parquet")
+
+
 def test_dedup_windows_share_one_exchange(spark, clips_t1):
     """Audio-key window partitioning must satisfy the exact-dup window's
     clustering: one exchange for both windows, not two."""

@@ -70,3 +70,21 @@ def test_approx_percentile_within_tolerance(spark):
         re_ = bisect.bisect_left(svals, e)
         ra = bisect.bisect_left(svals, a)
         assert abs(re_ - ra) <= n // 1000 + 1, (e, a, re_, ra)
+
+
+def test_percentiles_path_selection(spark):
+    """_percentiles routes by corpus size: exact at/below
+    EXACT_PERCENTILE_MAX_ROWS, sketch above — and both paths agree on a
+    small frame (where the sketch is exact too)."""
+    from engine import refit
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1002)],
+                               "ppl_score double")
+    exact = refit._percentiles(df, "ppl_score", [0.5, 0.99], n_rows=1001)
+    approx = refit._percentiles(df, "ppl_score", [0.5, 0.99],
+                                n_rows=refit.EXACT_PERCENTILE_MAX_ROWS + 1)
+    forced = refit._percentiles(df, "ppl_score", [0.5, 0.99], exact=False)
+    assert approx == forced
+    # on 1001 rows the sketch holds every value: identical ranks
+    for e, a in zip(exact, approx):
+        assert abs(e - a) <= 1.0, (exact, approx)

@@ -289,3 +289,24 @@ def test_compact_labels_canonicalizes_stream_output(spark, clips_t1, tmp_path):
     assert part_dirs
     for d in part_dirs:
         assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+
+def test_session_boundary(spark):
+    """Pins the session-window boundary semantics the DuckDB oracle of
+    `session_window_stats` relies on (engine/demo_queries.py): Spark
+    MERGES touching session windows, so an event at exactly the gap after
+    its predecessor stays in the SAME session; only a strictly larger gap
+    splits.  (A round-2 advisory claimed end-exclusive splitting; this is
+    the measured behavior.)"""
+    from pyspark.sql import functions as F
+
+    rows = [("u1", "2024-01-01 00:00:00"),  # base
+            ("u1", "2024-01-01 00:30:00"),  # exactly gap -> SAME session
+            ("u1", "2024-01-01 01:00:01")]  # gap + 1s    -> NEW session
+    df = (spark.createDataFrame(rows, "user_id string, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = (df.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select("n").orderBy("n").collect())
+    assert [r["n"] for r in out] == [1, 2]
