@@ -16,10 +16,12 @@ and stream-stream joins of two derivations of the same source need
 watermark plumbing that a dashboard feed doesn't warrant.  The ingest path
 in stream_pipeline runs repair — foreachBatch hands it a batch frame.)
 
-`stream_dup_flags` narrows the lambda split: an exact-audio-dup flag
-against ALL clips seen within a state TTL, not just the current
-micro-batch.  State is one marker per distinct checksum, evicted by
-processing-time timeout, so the store is bounded by the distinct-checksum
+`stream_dup_flags` and `stream_neardup_flags` narrow the lambda split:
+an exact-audio-dup flag (checksum state) and a textual near-dup flag
+(simhash band-bucket state) against ALL clips seen within a state TTL,
+not just the current micro-batch.  State is one marker per distinct
+checksum / at most SIMHASH_BUCKET_CAP signatures per band bucket,
+evicted by processing-time timeout, so the store is bounded by the
 arrival rate x TTL — the standard bounded-state compromise.  Canonical
 semantics differ from batch on purpose: the stream cannot retract an
 emitted row, so first-ARRIVAL is canonical, while the batch job's
@@ -35,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .. import config
+from .. import config, simhash_core
 from ..operators import decision, heuristics, scoring
 
 STATS_SCHEMA = T.StructType([
@@ -115,6 +117,79 @@ def _dup_update(key, pdfs, state: GroupState):
     state.update((True,))
     state.setTimeoutDuration(DUP_TTL_MS)
     yield pd.DataFrame({"clip_id": ids, "f_stream_dup": flags})
+
+
+def _neardup_update(key, pdfs, state: GroupState):
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"clip_id": pd.Series(dtype="object"),
+                            "band_no": pd.Series(dtype="int32"),
+                            "f_stream_neardup": pd.Series(dtype="bool")})
+        return
+    sims: list = list(state.get[0]) if state.exists else []
+    ids: list = []
+    bnos: list = []
+    flags: list = []
+    band_no = int(key[0])
+    for pdf in pdfs:
+        # within-batch determinism: smallest clip_id first, so the batch's
+        # first arrival in a bucket is its canonical (same convention as
+        # the exact-dup state above)
+        for cid, sim in sorted(zip(pdf["clip_id"].tolist(),
+                                   pdf["simhash"].tolist())):
+            sim = int(sim)
+            hit = any(simhash_core.hamming(sim, s)
+                      <= config.SIMHASH_HAMMING_MAX for s in sims)
+            ids.append(cid)
+            bnos.append(band_no)
+            flags.append(bool(hit))
+            # bounded state: at most SIMHASH_BUCKET_CAP signatures per
+            # bucket — a degenerate band value (boilerplate text) stops
+            # accumulating instead of growing the store without bound,
+            # mirroring the batch path's bucket cap (operators/dedup.py)
+            if len(sims) < config.SIMHASH_BUCKET_CAP and sim not in sims:
+                sims.append(sim)
+    state.update((sims,))
+    state.setTimeoutDuration(DUP_TTL_MS)
+    yield pd.DataFrame({"clip_id": ids,
+                        "band_no": pd.array(bnos, dtype="int32"),
+                        "f_stream_neardup": flags})
+
+
+NEARDUP_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("band_no", T.IntegerType(), False),
+    T.StructField("f_stream_neardup", T.BooleanType(), False),
+])
+_NEARDUP_STATE = T.StructType([
+    T.StructField("sims", T.ArrayType(T.LongType()), False)])
+
+
+def stream_neardup_flags(scored_stream: DataFrame) -> DataFrame:
+    """streaming scored clips -> (clip_id, band_no, f_stream_neardup):
+    True iff a clip within SIMHASH_HAMMING_MAX of this one shared this
+    band earlier in the stream (within DUP_TTL_MS) — the textual near-dup
+    extension of `stream_dup_flags`, same TTL-bounded state shape.
+
+    Each clip emits one row per simhash band (a near-dup pair shares at
+    least one band by the pigeonhole bound, simhash_core docstring), so a
+    clip's stream-level flag is the OR of its band rows — which the
+    consumer folds in its (batch) sink: an append-mode stream cannot
+    re-aggregate its own output without a second stateful stage, and the
+    reconcile job remains the batch authority regardless.  State per
+    (band_no, band_val) bucket is at most SIMHASH_BUCKET_CAP signatures
+    with TTL eviction: bounded by arrival rate x TTL, capped per key."""
+    sim_ok = F.col("simhash").isNotNull() & (F.col("simhash") != 0)
+    stack_expr = "stack({}, {}) as (band_no, band_val)".format(
+        config.SIMHASH_BANDS,
+        ", ".join(f"{i}, band{i}" for i in range(config.SIMHASH_BANDS)))
+    src = (scored_stream
+           .where(sim_ok)
+           .select("clip_id", "simhash", F.expr(stack_expr)))
+    return (src.groupBy("band_no", "band_val")
+            .applyInPandasWithState(
+                _neardup_update, NEARDUP_SCHEMA, _NEARDUP_STATE,
+                "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
 def stream_dup_flags(scored_stream: DataFrame) -> DataFrame:

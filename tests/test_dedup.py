@@ -155,3 +155,68 @@ def test_null_checksum_window_is_salted(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(pcm_checksum" in plan
     assert "_dup_salt" in plan
+
+
+def test_skew_injected_band_join_matches_oracle(spark, monkeypatch):
+    """Adversarial skew injection for the band self-join: one degenerate
+    band bucket wider than SIMHASH_BUCKET_CAP coexists with genuine
+    near-dup pairs.  The cap must (a) exclude the degenerate bucket,
+    (b) NOT suppress a clip that shares the hot bucket but matches its
+    near-dup through a different, narrow band, and (c) leave flags equal
+    to an independent re-implementation of the oracle's bucket logic
+    (tests/oracle.py)."""
+    monkeypatch.setattr(config, "SIMHASH_BUCKET_CAP", 4)
+
+    def srow(cid, u):
+        b = simhash_core.bands(u)
+        return (cid, 0, f"unique text for {cid}", f"ck_{cid}",
+                simhash_core.to_signed64(u), b[0], b[1], b[2], b[3])
+
+    hot_band0 = 0x1234
+    rows = []
+    sims = {}
+    # mega cluster: 6 identical simhashes -> every band bucket width 6 > 4
+    mega_u = hot_band0 | (0xAAAA << 16) | (0x5555 << 32) | (0x0F0F << 48)
+    for i in range(6):
+        cid = f"m{i}"
+        rows.append(srow(cid, mega_u))
+        sims[cid] = mega_u
+    # cross case: x0/x1 share the HOT band0 (bucket width 8 > cap) but are
+    # hamming-1 of each other and meet in their own narrow band2 bucket
+    x0 = hot_band0 | (0x1111 << 16) | (0x7777 << 32) | (0x9999 << 48)
+    x1 = x0 ^ (1 << 20)  # flip a band1 bit -> band0, band2, band3 shared
+    rows += [srow("x0", x0), srow("x1", x1)]
+    sims["x0"], sims["x1"] = x0, x1
+    # clean pair in entirely cold buckets
+    p0 = (0x4444) | (0xBBBB << 16) | (0x2222 << 32) | (0xD00D << 48)
+    p1 = p0 ^ (1 << 2)
+    rows += [srow("p0", p0), srow("p1", p1)]
+    sims["p0"], sims["p1"] = p0, p1
+
+    df = spark.createDataFrame(
+        rows, "clip_id string, part_id int, transcript string, "
+              "pcm_checksum string, simhash long, band0 int, band1 int, "
+              "band2 int, band3 int")
+    got = (dedup.with_dup_flags(df).toPandas()
+           .set_index("clip_id")["f_" + config.RULE_NEAR_DUP].to_dict())
+
+    # independent oracle-style recompute (bucket -> cap skip -> pairwise)
+    buckets: dict = {}
+    for cid in sorted(sims):
+        for bi, bv in enumerate(simhash_core.bands(sims[cid])):
+            buckets.setdefault((bi, bv), []).append(cid)
+    exp = {cid: False for cid in sims}
+    for ids in buckets.values():
+        if len(ids) > config.SIMHASH_BUCKET_CAP:
+            continue
+        for i in range(len(ids)):
+            for j in range(i):
+                a, b = ids[i], ids[j]
+                if simhash_core.hamming(sims[a], sims[b]) \
+                        <= config.SIMHASH_HAMMING_MAX:
+                    exp[a] = True
+    assert got == exp
+    # and the scenario really is what the docstring claims:
+    assert not any(exp[f"m{i}"] for i in range(6))  # mega bucket skipped
+    assert exp["x1"] and not exp["x0"]  # hot-band clip caught via cold band
+    assert exp["p1"] and not exp["p0"]

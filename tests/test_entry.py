@@ -125,3 +125,33 @@ def test_ingest_manifest_matches_direct_table(spark, tmp_path):
     # end-to-end: pipeline over the ingested frame runs and labels every row
     labels = pipeline.run_pipeline(ingested).toPandas()
     assert len(labels) == 60 and labels["clip_id"].is_unique
+
+
+def test_iceberg_migration_layout_contract(spark, clips_t1):
+    """The add_files migration invariant (engine/sources.py): a clips
+    table the engine writes must be EXACTLY the layout
+    `CALL catalog.system.add_files(...)` imports into an
+    identity-partitioned Iceberg table — every data file under a single
+    level of `part_id=<int>/` dirs, no data files at the root, and the
+    directory key equal to the rows' part_id value in every file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path, _, _ = clips_t1
+    root_files = glob.glob(os.path.join(path, "*.parquet"))
+    assert root_files == []  # no unpartitioned data files
+    part_dirs = glob.glob(os.path.join(path, "part_id=*"))
+    assert part_dirs
+    for d in part_dirs:
+        key = int(os.path.basename(d).split("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert files  # identity partition dir holds the data files...
+        assert not glob.glob(os.path.join(d, "*=*"))  # ...one level only
+        for f in files:
+            cols = pq.read_schema(f).names
+            # identity-partition column lives in the PATH, not the file —
+            # add_files derives it from the dir name; a duplicate column
+            # in-file would collide on import
+            assert "part_id" not in cols
