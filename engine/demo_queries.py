@@ -785,7 +785,48 @@ FROM events GROUP BY user_id
 """
 
 
+FCM_CENTERS = [20.0, 100.0, 180.0]
+
+
+def q_fuzzy_membership(spark, sf_dir):
+    """M5 graft — fuzzy clustering membership scoring (the reference fits
+    fanny() per stratum, Step2-Data-Incompleteness.R:333, Step3:502-505):
+    fuzzy c-means membership degrees (m=2) of every event value against
+    fixed centers, as pure column expressions (engine/refit.py
+    fuzzy_membership_cols).  Center FITTING is the driver-side refit job
+    (histogram + exact DP, refit.cluster_diagnostics); membership SCORING
+    is a projection — the scale split that makes M5 viable at 10^12 rows.
+    Rounded to 6 dp; denominator summed in center order in BOTH engines so
+    float64 results are bit-identical."""
+    from . import refit
+
+    ev = _t(spark, sf_dir, "events")
+    u = refit.fuzzy_membership_cols(F.col("value"), FCM_CENTERS)
+    return (ev.select("event_id",
+                      *[F.round(ui, 6).alias(f"u{i}") for i, ui in enumerate(u)])
+            .orderBy("event_id"))
+
+
+def _sql_fuzzy_membership() -> str:
+    cs = FCM_CENTERS
+    d2 = [f"((value - {c}) * (value - {c}))" for c in cs]
+    denom = " + ".join(f"(1.0 / {d})" for d in d2)
+    any_exact = " OR ".join(f"value = {c}" for c in cs)
+    cols = []
+    for i, c in enumerate(cs):
+        cols.append(
+            f"ROUND(CASE WHEN {any_exact} THEN "
+            f"(CASE WHEN value = {c} THEN 1.0 ELSE 0.0 END) "
+            f"ELSE (1.0 / {d2[i]}) / ({denom}) END, 6) AS u{i}")
+    return ("SELECT event_id, " + ", ".join(cols)
+            + " FROM events ORDER BY event_id")
+
+
+SQL_FUZZY_MEMBERSHIP = _sql_fuzzy_membership()
+
+
 QUERIES = {
+    "fuzzy_membership": q_fuzzy_membership,
     "session_window_stats": q_session_window_stats,
     "pivot_counts": q_pivot_counts,
     "windowed_event_stats": q_windowed_event_stats,
@@ -816,6 +857,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fuzzy_membership": SQL_FUZZY_MEMBERSHIP,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
     "pivot_counts": SQL_PIVOT_COUNTS,
     "geodesic_midpoint": SQL_GEODESIC_MIDPOINT,

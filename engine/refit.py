@@ -109,6 +109,85 @@ def _percentiles(df: DataFrame, col: str, ps: list[float],
     return [float(v) for v in row["p"]]
 
 
+def optimal_1d_kmeans_wss(centers: np.ndarray, counts: np.ndarray,
+                          k: int) -> float:
+    """EXACT weighted k-means SSE for 1-D histogram data, by dynamic
+    programming over contiguous bin segments (in one dimension the optimal
+    clusters are intervals, so DP over split points is globally optimal —
+    no init lottery, unlike the reference's kmeans/fanny fits).
+    O(k * n_bins^2) driver-side work on the (scale-independent) histogram;
+    the corpus itself was only touched by the one aggregation that built
+    the histogram."""
+    w = counts.astype(np.float64)
+    x = centers.astype(np.float64)
+    n = len(x)
+    cw = np.concatenate([[0.0], np.cumsum(w)])
+    cwx = np.concatenate([[0.0], np.cumsum(w * x)])
+    cwx2 = np.concatenate([[0.0], np.cumsum(w * x * x)])
+
+    def seg(i: int, j: int) -> float:  # SSE of bins [i, j)
+        ww = cw[j] - cw[i]
+        if ww <= 0:
+            return 0.0
+        sx = cwx[j] - cwx[i]
+        return (cwx2[j] - cwx2[i]) - sx * sx / ww
+
+    prev = np.array([seg(0, j) for j in range(n + 1)])
+    for _ in range(1, k):
+        cur = np.full(n + 1, np.inf)
+        cur[0] = 0.0
+        for j in range(1, n + 1):
+            cur[j] = min(prev[i] + seg(i, j) for i in range(j + 1))
+        prev = cur
+    return float(prev[n])
+
+
+def cluster_diagnostics(centers: np.ndarray, counts: np.ndarray,
+                        k_max: int = 6) -> dict:
+    """Cluster-count diagnostics — deterministic analog of the reference's
+    wss-scan + clusGap model selection (get_nbclust/clusGap,
+    Step2-Data-Incompleteness.R:223-224, Step3:377-379): exact WSS per k
+    from the DP above, elbow = argmax of the second difference of
+    log(WSS+eps) (the discrete curvature criterion; clusGap's B=50
+    bootstrap is a seed lottery the engine deliberately replaces with a
+    closed-form, reproducible statistic)."""
+    ks = list(range(1, k_max + 1))
+    wss = [optimal_1d_kmeans_wss(centers, counts, k) for k in ks]
+    logw = np.log(np.asarray(wss) + 1e-12)
+    if len(ks) >= 3:
+        curv = logw[:-2] - 2 * logw[1:-1] + logw[2:]  # at k = 2..k_max-1
+        elbow = int(np.argmax(curv)) + 2
+    else:
+        elbow = ks[-1]
+    return {"k": ks, "wss": [round(v, 6) for v in wss], "elbow_k": elbow}
+
+
+def fuzzy_membership_cols(value, centers: list[float]):
+    """Fuzzy c-means membership degrees (fuzzifier m=2) of `value` against
+    FIXED cluster centers — the graft of the reference's fanny() fits
+    (Step2:333, Step3:502-505): u_i = (1/d_i^2) / sum_k (1/d_k^2), with
+    the exact-hit convention u = 1 on the touched center.  Pure Column
+    expressions (no UDF, no iteration): at 10^12 rows membership scoring
+    is a projection, while center FITTING stays in the driver-side refit
+    (histogram + DP).  Returns one Column per center."""
+    d2 = [(value - F.lit(c)) * (value - F.lit(c)) for c in centers]
+    inv = [F.lit(1.0) / x for x in d2]
+    denom = None
+    for x in inv:
+        denom = x if denom is None else denom + x
+    cols = []
+    for i, c in enumerate(centers):
+        exact = value == F.lit(c)
+        any_exact = None
+        for j, cj in enumerate(centers):
+            hit = value == F.lit(cj)
+            any_exact = hit if any_exact is None else (any_exact | hit)
+        u = F.when(any_exact, F.when(exact, F.lit(1.0)).otherwise(F.lit(0.0))) \
+            .otherwise(inv[i] / denom)
+        cols.append(u)
+    return cols
+
+
 def refit_thresholds(scored: DataFrame) -> dict:
     """scored (scoring.score_clips output or the checkpointed scored
     table) -> provenance-stamped threshold proposal dict."""
@@ -120,10 +199,12 @@ def refit_thresholds(scored: DataFrame) -> dict:
     ppl_hi = float(config.PPL_MAX * 4)
     c, n = score_histogram(scored, "ppl_score", 0.0, ppl_hi)
     ppl_cut = kmeans2_boundary(c, n)
+    ppl_diag = cluster_diagnostics(c, n)
     ppl_pcts = _percentiles(scored, "ppl_score", [0.5, 0.9, 0.99], n_rows)
 
     c, n = score_histogram(scored, "lid_margin", 0.0, 4.0)
     lid_cut = kmeans2_boundary(c, n)
+    lid_diag = cluster_diagnostics(c, n)
     lid_pcts = _percentiles(scored, "lid_margin", [0.01, 0.1, 0.5], n_rows)
 
     c, n = score_histogram(scored, "silence_ratio", 0.0, 1.0)
@@ -149,4 +230,7 @@ def refit_thresholds(scored: DataFrame) -> dict:
             "ppl_p50_p90_p99": [round(v, 4) for v in ppl_pcts],
             "lid_margin_p01_p10_p50": [round(v, 4) for v in lid_pcts],
         },
+        # M6 graft: cluster-count diagnostics per fitted score (wss scan +
+        # curvature elbow over the same histograms — no extra corpus pass)
+        "diagnostics": {"ppl_score": ppl_diag, "lid_margin": lid_diag},
     }

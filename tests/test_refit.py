@@ -88,3 +88,74 @@ def test_percentiles_path_selection(spark):
     # on 1001 rows the sketch holds every value: identical ranks
     for e, a in zip(exact, approx):
         assert abs(e - a) <= 1.0, (exact, approx)
+
+
+def test_optimal_1d_kmeans_wss_exact_small():
+    """DP WSS equals brute-force optimal on a tiny histogram."""
+    import itertools
+
+    import numpy as np
+
+    from engine import refit
+
+    x = np.array([0.0, 1.0, 2.0, 10.0, 11.0, 20.0])
+    w = np.array([2, 1, 1, 3, 1, 2], dtype=np.int64)
+
+    def sse(idx):
+        ww = w[list(idx)].astype(float)
+        xx = x[list(idx)]
+        mu = (ww * xx).sum() / ww.sum()
+        return float((ww * (xx - mu) ** 2).sum())
+
+    # brute force: all contiguous 2-splits and 3-splits
+    n = len(x)
+    best2 = min(sse(range(0, i)) + sse(range(i, n)) for i in range(1, n))
+    best3 = min(sse(range(0, i)) + sse(range(i, j)) + sse(range(j, n))
+                for i, j in itertools.combinations(range(1, n), 2))
+    assert abs(refit.optimal_1d_kmeans_wss(x, w, 2) - best2) < 1e-9
+    assert abs(refit.optimal_1d_kmeans_wss(x, w, 3) - best3) < 1e-9
+    # monotone non-increasing in k
+    wss = [refit.optimal_1d_kmeans_wss(x, w, k) for k in range(1, 5)]
+    assert all(a >= b - 1e-12 for a, b in zip(wss, wss[1:]))
+
+
+def test_cluster_diagnostics_elbow_finds_true_k():
+    """Three well-separated modes -> curvature elbow says k=3,
+    deterministically (M6 graft: the clusGap/wss model selection without
+    the bootstrap seed lottery)."""
+    import numpy as np
+
+    from engine import refit
+
+    centers = np.linspace(0, 100, 200)
+    counts = np.zeros(200, dtype=np.int64)
+    for mode, spread in ((20, 4), (52, 4), (85, 4)):
+        idx = np.arange(200)
+        counts += (1000 * np.exp(-((centers - mode) ** 2)
+                                 / (2 * spread ** 2))).astype(np.int64)
+        del idx
+    d1 = refit.cluster_diagnostics(centers, counts, k_max=6)
+    d2 = refit.cluster_diagnostics(centers, counts, k_max=6)
+    assert d1 == d2  # deterministic
+    assert d1["elbow_k"] == 3
+    assert d1["wss"][2] < 0.1 * d1["wss"][0]  # k=3 explains the structure
+
+
+def test_fuzzy_membership_properties(spark):
+    """Memberships sum to 1, peak at the nearest center, and obey the
+    exact-hit convention (M5 graft)."""
+    from pyspark.sql import functions as F
+
+    from engine import refit
+
+    vals = [(0.0,), (20.0,), (25.0,), (60.0,), (100.0,), (179.0,), (500.0,)]
+    df = spark.createDataFrame(vals, "value double")
+    u = refit.fuzzy_membership_cols(F.col("value"), [20.0, 100.0, 180.0])
+    out = df.select("value", *[ui.alias(f"u{i}") for i, ui in enumerate(u)]) \
+        .toPandas().set_index("value")
+    s = out.sum(axis=1)
+    assert ((s - 1.0).abs() < 1e-9).all()
+    assert out.loc[20.0].tolist() == [1.0, 0.0, 0.0]   # exact hit
+    assert out.loc[100.0].tolist() == [0.0, 1.0, 0.0]
+    assert out.loc[25.0, "u0"] > out.loc[25.0, "u1"] > out.loc[25.0, "u2"]
+    assert out.loc[500.0, "u2"] > out.loc[500.0, "u1"] > out.loc[500.0, "u0"]
