@@ -224,9 +224,10 @@ capped AS (
   SELECT vec_id, embedding, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bw FROM b) t
   WHERE bw <= {EMB_BUCKET_CAP})
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({cos}, 3) AS cos_sim
-FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE ROUND({cos}, 3) >= 0.35
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({cos}, 3) AS cos_sim
+  FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+WHERE cos_sim >= 0.35
 """
 
 
