@@ -176,3 +176,64 @@ def test_repair_normalize_engine_oracle_parity(spark):
     # ASCII runs collapse
     assert oracle._normalize("a\u00a0\u00a0b") == "a\u00a0\u00a0b"
     assert oracle._normalize("a  b") == "a b"
+
+
+# ---------------------------------------------------------------------------
+# property tests: repair normalization/rescue (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_any_text = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FFF),
+    max_size=400)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_text)
+def test_normalize_text_idempotent(t):
+    """normalize(normalize(t)) == normalize(t) — repairing twice can never
+    differ from repairing once (matches the oracle's single-pass model)."""
+    from engine.operators import repair
+
+    once = repair.normalize_text(t)
+    assert repair.normalize_text(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_text, st.integers(min_value=-5, max_value=10 ** 7) | st.none())
+def test_repair_batch_invariants(t, dur):
+    """For ANY transcript/duration: (a) a text passing the rules is never
+    touched; (b) a rescued text differs, is non-empty, and passes all text
+    rules; (c) a non-rescued text is returned verbatim; (d) repair_batch
+    agrees with the oracle's independent repair model (tests/oracle.py)."""
+    from engine import config
+    from engine.operators import repair
+    from tests import oracle
+
+    out, rep = repair.repair_batch([t], [dur])
+    if not repair._fails_text_rules(t, dur):
+        assert out == [t] and rep == [False]
+    if rep[0]:
+        assert out[0] != t and len(out[0]) > 0
+        assert not repair._fails_text_rules(out[0], dur)
+    else:
+        assert out[0] == t
+
+    # oracle agreement (the same decision the pandas oracle makes)
+    exp_rep, exp_t = False, t
+    if repair._fails_text_rules(t, dur):
+        norm = oracle._normalize(t)
+        if norm != t and len(norm) > 0:
+            ok = config.TXT_LEN_MIN <= len(norm) <= config.TXT_LEN_MAX
+            if ok and oracle._alpha_ratio(norm) < config.ALPHA_RATIO_MIN:
+                ok = False
+            if ok and dur is not None and dur > 0:
+                cps = len(norm) / (dur / 1000.0)
+                if cps > config.CHARS_PER_SEC_MAX \
+                        or cps < config.CHARS_PER_SEC_MIN:
+                    ok = False
+            if ok:
+                exp_rep, exp_t = True, norm
+    assert (rep[0], out[0]) == (exp_rep, exp_t)
