@@ -403,3 +403,49 @@ def test_session_boundary(spark):
            .agg(F.count("*").alias("n"))
            .select("n").orderBy("n").collect())
     assert [r["n"] for r in out] == [1, 2]
+
+
+def test_stream_dup_monitor_job(spark, clips_t1, tmp_path, monkeypatch):
+    """End-to-end drive of jobs/stream_dup_monitor.py (in-process: the
+    job's getOrCreate picks up the test session): scored batches stream
+    in, the job folds band rows to one near-dup flag per clip and writes
+    idempotent batch_id dirs."""
+    import sys
+
+    import jobs.stream_dup_monitor as mon
+    from engine.operators import pipeline, scoring
+
+    from pyspark.sql import functions as F
+
+    path, _, _ = clips_t1
+    scored_dir = str(tmp_path / "scored_stream")
+    scored = scoring.score_clips(pipeline.read_clips(spark, path))
+    scored.write.mode("overwrite").parquet(scored_dir)
+    # inject guaranteed simhash dups as a LATER batch file: re-emit three
+    # long-transcript rows under new (larger) clip_ids — identical simhash,
+    # so each must flag against the first batch's state
+    dups = (spark.read.parquet(scored_dir)
+            .where(F.col("simhash") != 0).orderBy("clip_id").limit(3)
+            .withColumn("clip_id", F.concat(F.lit("zz_"), F.col("clip_id"))))
+    dup_ids = [r["clip_id"] for r in dups.select("clip_id").collect()]
+    dups.coalesce(1).write.mode("append").parquet(scored_dir)
+    out = str(tmp_path / "flags_out")
+
+    monkeypatch.setattr(sys, "argv", [
+        "stream_dup_monitor.py", "--input", scored_dir, "--output", out,
+        "--available-now", "--max-files-per-trigger", "64"])
+    # main() flips noDataMicroBatches off on the shared session; restore so
+    # later watermark tests keep their flush batches
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+                         "true")
+    try:
+        assert mon.main() == 0
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
+
+    flags = spark.read.parquet(f"{out}/neardup").toPandas()
+    assert len(flags) > 0
+    assert flags["clip_id"].is_unique  # folded: one row per clip
+    got = flags.set_index("clip_id")["f_stream_neardup"]
+    assert got.loc[dup_ids].all()  # every injected dup flagged
+    assert not got.all()
