@@ -4,9 +4,27 @@ documented as a batch-job concern)."""
 
 from __future__ import annotations
 
+import contextlib
+
 from engine import config
 from engine.operators import pipeline
 from engine.streaming import stream_pipeline
+
+
+@contextlib.contextmanager
+def _no_empty_batches(spark):
+    """Disable no-data micro-batches for a query holding processing-time
+    timeout state: with them enabled, availableNow never terminates — the
+    engine schedules empty batches back-to-back until a TTL timer (1 h
+    out) fires, so the test would silently burn its full awaitTermination
+    cap instead of stopping (see jobs/stream_dup_monitor.py)."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_stream_matches_batch_per_clip_rules(spark, clips_t1, tmp_path):
@@ -243,12 +261,14 @@ def test_stream_dup_flags_cross_batch(spark, tmp_path):
               .schema("clip_id string, pcm_checksum string")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(str(src)))
-    q = (stateful.stream_dup_flags(stream)
-         .writeStream.format("memory").queryName("dup_flags")
-         .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _no_empty_batches(spark):
+        q = (stateful.stream_dup_flags(stream)
+             .writeStream.format("memory").queryName("dup_flags")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert not q.isActive  # terminated, didn't just hit the wait cap
 
     got = (spark.table("dup_flags").toPandas()
            .set_index("clip_id")["f_stream_dup"].to_dict())
@@ -301,12 +321,14 @@ def test_stream_neardup_flags_cross_batch(spark, tmp_path):
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(str(src)))
-    q = (stateful.stream_neardup_flags(stream)
-         .writeStream.format("memory").queryName("neardup_flags")
-         .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _no_empty_batches(spark):
+        q = (stateful.stream_neardup_flags(stream)
+             .writeStream.format("memory").queryName("neardup_flags")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert not q.isActive  # terminated, didn't just hit the wait cap
 
     pdf = spark.table("neardup_flags").toPandas()
     # consumer fold: clip-level flag = OR over that clip's band rows
