@@ -38,18 +38,30 @@ def _clips_path(spark: SparkSession) -> str:
     return _CLIPS_CACHE["path"]
 
 
+def _labels_parquet_path() -> str:
+    """Deterministic location of the materialized labels table — no pid,
+    because the DuckDB oracles for clips_lineage / clips_eval_report must
+    name the same path in their SQL.  Keyed by fixture + rule version;
+    staleness across code changes is prevented by the overwrite below:
+    every PROCESS recomputes and rewrites the labels once before any
+    consumer (Spark or oracle) reads them."""
+    from engine import config, fixtures
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_labels_v{fixtures.FIXTURES_VERSION}_{config.rule_version()}")
+
+
 def _labels_df(spark: SparkSession) -> DataFrame:
     """Fused-pipeline labels over the entry clips table, executed ONCE per
     process and materialized to parquet: clips_pipeline / clips_lineage /
     clips_eval_report all consume the same result instead of re-running the
     scoring UDF three times (the bench then measures the operators, not
-    repeated UDF recompute).  Scoped to this process (pid in the path) so a
-    code change can never serve stale labels across runs."""
+    repeated UDF recompute)."""
     if "labels" not in _CLIPS_CACHE:
         from engine.operators import pipeline
 
-        path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_labels_entry_{os.getpid()}")
+        path = _labels_parquet_path()
         clips = pipeline.read_clips(spark, _clips_path(spark))
         pipeline.run_pipeline(clips).write.mode("overwrite").parquet(path)
         _CLIPS_CACHE["labels"] = path
@@ -85,12 +97,56 @@ def _q_clips_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_clips_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage metrics of the fused pass (rows-only)."""
+    """Per-partition lineage metrics of the fused pass.  Oracle-gated as of
+    round 3: the DuckDB twin recomputes every scalar measure from the
+    materialized labels parquet (the map-typed drop_reason_counts column
+    stays pytest-gated)."""
     from engine.operators import decision
 
     m = decision.lineage_metrics(_labels_df(spark))
     return m.select("part_id", "status", "n_total", "n_kept", "n_dropped",
                     "n_scrubbed", "rule_version")
+
+
+def _sql_clips_lineage() -> str:
+    from engine import config
+
+    return f"""
+SELECT CAST(part_id AS INTEGER) AS part_id,
+       'committed' AS status,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       '{config.rule_version()}' AS rule_version
+FROM read_parquet('{_labels_parquet_path()}/*.parquet')
+GROUP BY part_id
+"""
+
+
+def _sql_clips_eval_report() -> str:
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE),
+             6) AS keep_rate,
+       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       ROUND(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS scrub_rate,
+       CASE WHEN COUNT(CASE WHEN keep AND ppl_score IS NOT NULL
+                       THEN 1 END) > 0
+            THEN ROUND(SUM(CASE WHEN keep THEN ppl_score END)
+                       / COUNT(CASE WHEN keep AND ppl_score IS NOT NULL
+                               THEN 1 END), 4) END AS avg_ppl_kept,
+       CASE WHEN COUNT(CASE WHEN keep AND silence_ratio IS NOT NULL
+                       THEN 1 END) > 0
+            THEN ROUND(SUM(CASE WHEN keep THEN silence_ratio END)
+                       / COUNT(CASE WHEN keep AND silence_ratio IS NOT NULL
+                               THEN 1 END), 4) END AS avg_silence_kept
+FROM read_parquet('{_labels_parquet_path()}/*.parquet')
+GROUP BY lang ORDER BY lang
+"""
 
 
 def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,4 +343,6 @@ def oracle_sql() -> dict[str, str]:
     # other clips_* entries intentionally omitted: non-SQL-expressible
     # (Arrow UDF decode + model scoring); gated by tests/test_pipeline_oracle.py
     out["clips_decision"] = _sql_clips_decision()
+    out["clips_lineage"] = _sql_clips_lineage()
+    out["clips_eval_report"] = _sql_clips_eval_report()
     return out
