@@ -149,21 +149,38 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _mel_parquet_path() -> str:
+    """Deterministic location of the materialized mel-profile table (the
+    audio_topk oracle SQL names it; same staleness contract as the labels
+    path — rewritten by every process before use)."""
+    from engine import config, fixtures
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mel_v{fixtures.FIXTURES_VERSION}_{config.rule_version()}")
+
+
 def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio similarity search over the engine's own feature output: top-3
     nearest clips by cosine over the 24-band log-mel profile, for the 3
-    lexicographically-first decodable clips (rows-only).  The multimodal
-    analog of embedding_topk: the 'embedding' here is produced by the
-    decode UDF, not given."""
+    lexicographically-first decodable clips.  The multimodal analog of
+    embedding_topk: the 'embedding' here is produced by the decode UDF,
+    not given.  Oracle-gated as of round 3: the decode stays pytest-gated,
+    but the search itself is recomputed by DuckDB over the materialized
+    profiles (arrays cast to double on BOTH sides so the dot products are
+    bit-identical)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from engine.operators import pipeline, scoring
 
     clips = pipeline.read_clips(spark, _clips_path(spark))
-    mel = (scoring.score_clips(clips)
-           .where(F.col("mel_profile").isNotNull())
-           .select("clip_id", "mel_profile"))
+    (scoring.score_clips(clips)
+     .where(F.col("mel_profile").isNotNull())
+     .select("clip_id", F.col("mel_profile").cast("array<double>")
+             .alias("mel_profile"))
+     .coalesce(4).write.mode("overwrite").parquet(_mel_parquet_path()))
+    mel = spark.read.parquet(_mel_parquet_path())
     q = (mel.orderBy("clip_id").limit(3)
          .select(F.col("clip_id").alias("query_id"),
                  F.col("mel_profile").alias("qv")))
@@ -181,6 +198,25 @@ def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("query_id", "rank", "clip_id", "mel_cos"))
+
+
+def _sql_clips_audio_topk() -> str:
+    path = _mel_parquet_path()
+    cos = ("list_dot_product(qv, mel_profile) / "
+           "(sqrt(list_dot_product(qv, qv)) * "
+           "sqrt(list_dot_product(mel_profile, mel_profile)))")
+    return f"""
+WITH mel AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+q AS (SELECT clip_id AS query_id, mel_profile AS qv
+      FROM mel ORDER BY clip_id LIMIT 3),
+scored AS (
+  SELECT q.query_id, m.clip_id, ROUND({cos}, 4) AS mel_cos
+  FROM mel m CROSS JOIN q WHERE m.clip_id != q.query_id)
+SELECT query_id, rank, clip_id, mel_cos FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mel_cos DESC, clip_id ASC) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= 3
+"""
 
 
 def _q_clips_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,4 +381,5 @@ def oracle_sql() -> dict[str, str]:
     out["clips_decision"] = _sql_clips_decision()
     out["clips_lineage"] = _sql_clips_lineage()
     out["clips_eval_report"] = _sql_clips_eval_report()
+    out["clips_audio_topk"] = _sql_clips_audio_topk()
     return out
