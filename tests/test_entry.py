@@ -36,10 +36,12 @@ def test_every_query_has_callable_signature():
     assert len(qs) >= 30
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    # rows-only entries are exactly the clips ones (non-SQL-expressible)
+    # rows-only entries are exactly the genuinely non-SQL clips ones
+    # (Python decode / streaming / python-side dim); everything else —
+    # including decision, lineage, eval report and audio top-k — carries a
+    # DuckDB oracle as of round 3
     assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
-                                   "clips_lineage", "clips_stream_ingest",
-                                   "clips_eval_report", "clips_audio_topk",
+                                   "clips_stream_ingest",
                                    "clips_eval_by_region", "clips_resample"}
 
 
