@@ -127,6 +127,7 @@ def _neardup_update(key, pdfs, state: GroupState):
                             "f_stream_neardup": pd.Series(dtype="bool")})
         return
     sims: list = list(state.get[0]) if state.exists else []
+    seen = set(sims)
     ids: list = []
     bnos: list = []
     flags: list = []
@@ -138,17 +139,23 @@ def _neardup_update(key, pdfs, state: GroupState):
         for cid, sim in sorted(zip(pdf["clip_id"].tolist(),
                                    pdf["simhash"].tolist())):
             sim = int(sim)
-            hit = any(simhash_core.hamming(sim, s)
-                      <= config.SIMHASH_HAMMING_MAX for s in sims)
+            # bounded state AND bounded work: at most SIMHASH_BUCKET_CAP
+            # signatures per bucket, and once a bucket saturates (a
+            # degenerate band value — boilerplate text) new arrivals skip
+            # the verify scan entirely, mirroring the batch path's
+            # skip-oversized-bucket semantics (operators/dedup.py): per-
+            # arrival cost is O(cap) before saturation, O(1) after, and a
+            # genuine near-dup still flags through its other, colder bands
+            saturated = len(sims) >= config.SIMHASH_BUCKET_CAP
+            hit = (not saturated
+                   and any(simhash_core.hamming(sim, s)
+                           <= config.SIMHASH_HAMMING_MAX for s in sims))
             ids.append(cid)
             bnos.append(band_no)
             flags.append(bool(hit))
-            # bounded state: at most SIMHASH_BUCKET_CAP signatures per
-            # bucket — a degenerate band value (boilerplate text) stops
-            # accumulating instead of growing the store without bound,
-            # mirroring the batch path's bucket cap (operators/dedup.py)
-            if len(sims) < config.SIMHASH_BUCKET_CAP and sim not in sims:
+            if not saturated and sim not in seen:
                 sims.append(sim)
+                seen.add(sim)
     state.update((sims,))
     state.setTimeoutDuration(DUP_TTL_MS)
     yield pd.DataFrame({"clip_id": ids,

@@ -471,3 +471,40 @@ def test_stream_dup_monitor_job(spark, clips_t1, tmp_path, monkeypatch):
     got = flags.set_index("clip_id")["f_stream_neardup"]
     assert got.loc[dup_ids].all()  # every injected dup flagged
     assert not got.all()
+
+
+def test_neardup_saturated_bucket_skips_verify():
+    """After a bucket saturates at SIMHASH_BUCKET_CAP, new arrivals get
+    False without scanning (batch-path skip semantics): even an exact
+    signature match is not flagged through a saturated bucket."""
+    import pandas as pd
+
+    from engine import config
+    from engine.streaming import stateful
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.stored
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = FakeState()
+    cap = config.SIMHASH_BUCKET_CAP
+    pdf1 = pd.DataFrame({"clip_id": [f"a{i:05d}" for i in range(cap)],
+                         "simhash": list(range(1, cap + 1))})
+    list(stateful._neardup_update((0, 9), iter([pdf1]), st))
+    assert len(st.stored[0]) == cap
+    # next batch: exact copy of a stored signature -> saturated, so False
+    pdf2 = pd.DataFrame({"clip_id": ["zz"], "simhash": [1]})
+    out = list(stateful._neardup_update((0, 9), iter([pdf2]), st))[0]
+    assert out["f_stream_neardup"].tolist() == [False]
+    assert len(st.stored[0]) == cap  # state did not grow
