@@ -44,7 +44,11 @@ def main() -> int:
 
     (corrected.repartition("part_id").write.mode("overwrite")
      .partitionBy("part_id").parquet(f"{args.output}/labels"))
-    diff.coalesce(1).write.mode("overwrite").parquet(f"{args.output}/diff")
+    # diff volume scales with the cross-batch dup rate (at 10^12 clips a
+    # few-% rate is 10^10 rows), so no coalesce(1) here: keep the upstream
+    # (AQE-sized) partitioning — unlike the O(n_parts)-bounded lineage/
+    # report writes, this table is corpus-sized in the worst case
+    diff.write.mode("overwrite").parquet(f"{args.output}/diff")
 
     d = spark.read.parquet(f"{args.output}/diff")
     n_flips = d.count()

@@ -66,7 +66,9 @@ def main() -> int:
     def _sink(batch_df, batch_id: int) -> None:
         folded = (batch_df.groupBy("clip_id")
                   .agg(F.max("f_stream_neardup").alias("f_stream_neardup")))
-        (folded.coalesce(1).write.mode("overwrite")
+        # no coalesce(1): a production trigger can carry millions of rows,
+        # and the fold's groupBy output is already AQE-sized
+        (folded.write.mode("overwrite")
          .parquet(f"{args.output}/neardup/batch_id={batch_id}"))
 
     ckpt = args.checkpoint or f"{args.output}/_checkpoint"
