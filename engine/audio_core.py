@@ -177,13 +177,24 @@ if os.environ.get("SPARK_GRAFT_AUDIO_BACKENDS"):
 
 def decode_payload(payload: bytes | None, canon_codec: str | None):
     """payload + canonical codec -> int16 samples, or None (no payload, no
-    decoder registered for the codec, or the decoder rejected the bytes)."""
+    decoder registered for the codec, or the decoder rejected the bytes).
+
+    A decoder that RAISES is treated like one that returned None: one
+    corrupt clip must surface as that row's UNDECODABLE flag, never kill
+    the whole Arrow batch task (and with it the stage, after retries) —
+    at 10^12 rows a per-row decode crash is a certainty, not an edge
+    case.  Registered backends should still catch their own library
+    errors (cheaper than an exception per reject); this is the last-line
+    guard."""
     if payload is None:
         return None
     fn = _DECODERS.get(canon_codec)
     if fn is None:
         return None
-    return fn(payload)
+    try:
+        return fn(payload)
+    except Exception:
+        return None
 
 
 def analyze(payload: bytes | None, sr_hz: int | None,

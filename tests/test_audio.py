@@ -300,3 +300,22 @@ def test_resample_clips_spark_matches_numpy(spark, clips_t1):
         assert row["n_samples_out"] == out.size
         assert row["resampled_checksum"] == \
             hashlib.blake2b(out, digest_size=16).hexdigest()
+
+
+def test_raising_decoder_lands_in_undecodable():
+    """A registered decoder that throws (instead of returning None) must
+    yield an UNDECODABLE row, not a task-killing exception — one corrupt
+    clip cannot take down an Arrow batch."""
+    def angry(payload):
+        raise ValueError("corrupt stream")
+
+    audio_core.register_decoder("angrycodec", angry)
+    try:
+        assert audio_core.decode_payload(b"\x00\x01", "angrycodec") is None
+        undec, feats, frames = audio_core.analyze(b"\x00\x01", 16000,
+                                                  "angrycodec")
+        assert undec is True
+        assert feats == (None, None, None, None, None)
+        assert frames == (None, None, None)
+    finally:
+        audio_core._DECODERS.pop("angrycodec", None)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import contextlib
 
+from pandas import isna as pd_isna
+
 from engine import config
 from engine.operators import pipeline
 from engine.streaming import stream_pipeline
@@ -508,3 +510,48 @@ def test_neardup_saturated_bucket_skips_verify():
     out = list(stateful._neardup_update((0, 9), iter([pdf2]), st))[0]
     assert out["f_stream_neardup"].tolist() == [False]
     assert len(st.stored[0]) == cap  # state did not grow
+
+
+def test_kafka_mapping_without_broker(spark):
+    """The Kafka message contract (key=clip_id, value=payload, scalars as
+    headers) maps to the clips shape — exercised on a kafka-schema batch
+    frame, no broker needed; missing/malformed headers become NULLs for
+    the pipeline rules to flag, never ingest errors."""
+    from pyspark.sql import types as T
+
+    kafka_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("headers", T.ArrayType(T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.BinaryType())]))),
+    ])
+    rows = [
+        (b"clip_a", b"\x01\x02",
+         [("sr_hz", b"16000"), ("dur_ms", b"500"),
+          ("codec", b"pcm_s16le"), ("transcript", b"hello there")]),
+        (b"clip_b", b"\x03\x04", [("sr_hz", b"not_an_int")]),  # malformed
+        (b"clip_c", None, None),                               # no payload
+    ]
+    raw = spark.createDataFrame(rows, kafka_schema)
+    out = (stream_pipeline.clips_from_kafka_records(raw)
+           .toPandas().set_index("clip_id"))
+    assert out.loc["clip_a", "sr_hz"] == 16000
+    assert out.loc["clip_a", "codec"] == "pcm_s16le"
+    assert bytes(out.loc["clip_a", "bytes"]) == b"\x01\x02"
+    assert pd_isna(out.loc["clip_b", "sr_hz"])   # cast failure -> NULL
+    assert pd_isna(out.loc["clip_c", "transcript"])
+    assert out.loc["clip_c", "bytes"] is None
+    assert (out["part_id"] >= 0).all() and (out["part_id"] < config.N_PARTS).all()
+    # the mapped shape passes the engine's schema assertion
+    from engine import schema as eng_schema
+    eng_schema.assert_clips_schema(stream_pipeline.clips_from_kafka_records(raw))
+
+
+def test_kafka_source_fails_fast_without_connector(spark):
+    """No Kafka connector in this sandbox: the source must raise the
+    actionable --packages message, not a bare data-source trace."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_pipeline.read_clip_stream_kafka(spark, "localhost:9092", "clips")
