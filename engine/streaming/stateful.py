@@ -89,7 +89,7 @@ def running_lang_stats(labeled_stream: DataFrame) -> DataFrame:
 # cross-batch exact-dup flag with TTL-bounded state
 # ---------------------------------------------------------------------------
 
-DUP_TTL_MS = 60 * 60 * 1000  # evict a checksum's marker after 1 h idle
+DUP_TTL_MS = config.STREAM_DUP_TTL_MS  # evict a marker after this idle span
 
 DUP_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
