@@ -204,8 +204,18 @@ def q_embedding_neardup_cosine(spark, sf_dir):
     w = Window.partitionBy("bucket")
     b = (b.withColumn("_bw", F.count("*").over(w))
          .where(F.col("_bw") <= EMB_BUCKET_CAP).drop("_bw"))
+    # norm per ROW, not per pair: the verify stage evaluates O(width^2/2)
+    # pairs per bucket, and the naive cosine costs three O(dim) folds per
+    # pair — precomputing |v| once per row leaves one fold per pair (same
+    # float ops on the same values, so results are unchanged; the oracle
+    # mirrors the refactor)
+    b = b.withColumn("nrm", F.sqrt(F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)))
     a, c = b.alias("a"), b.alias("c")
-    cos = F.round(_cos(F.col("a.embedding"), F.col("c.embedding")), 3)
+    dot = F.aggregate(F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("c.nrm")), 3)
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                    & (F.col("a.vec_id") < F.col("c.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
@@ -215,13 +225,13 @@ def q_embedding_neardup_cosine(spark, sf_dir):
 
 
 def _sql_neardup() -> str:
-    cos = ("list_dot_product(a.embedding, c.embedding) / "
-           "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
-           "sqrt(list_dot_product(c.embedding, c.embedding)))")
+    cos = "list_dot_product(a.embedding, c.embedding) / (a.nrm * c.nrm)"
     return f"""
 WITH {_sql_bucket_cte()},
 capped AS (
-  SELECT vec_id, embedding, bucket FROM (
+  SELECT vec_id, embedding, bucket,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bw FROM b) t
   WHERE bw <= {EMB_BUCKET_CAP})
 SELECT * FROM (
