@@ -180,17 +180,20 @@ def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
      .select("clip_id", F.col("mel_profile").cast("array<double>")
              .alias("mel_profile"))
      .coalesce(4).write.mode("overwrite").parquet(_mel_parquet_path()))
-    mel = spark.read.parquet(_mel_parquet_path())
+    norm_of = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda a, x: a + x * x))
+    # norms hoisted out of the (query x clip) pair loop, same refactor as
+    # the embedding near-dup verify stage
+    mel = (spark.read.parquet(_mel_parquet_path())
+           .withColumn("nrm", norm_of(F.col("mel_profile"))))
     q = (mel.orderBy("clip_id").limit(3)
          .select(F.col("clip_id").alias("query_id"),
-                 F.col("mel_profile").alias("qv")))
+                 F.col("mel_profile").alias("qv"),
+                 F.col("nrm").alias("qn")))
     dot = F.aggregate(F.zip_with(F.col("qv"), F.col("mel_profile"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
-    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
-    nc = F.sqrt(F.aggregate(F.col("mel_profile"), F.lit(0.0),
-                            lambda a, x: a + x * x))
-    cos = F.round(dot / (nq * nc), 4)
+    cos = F.round(dot / (F.col("qn") * F.col("nrm")), 4)
     scored = (mel.crossJoin(F.broadcast(q))
               .where(F.col("clip_id") != F.col("query_id"))
               .select("query_id", "clip_id", cos.alias("mel_cos")))
@@ -202,12 +205,12 @@ def _q_clips_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_clips_audio_topk() -> str:
     path = _mel_parquet_path()
-    cos = ("list_dot_product(qv, mel_profile) / "
-           "(sqrt(list_dot_product(qv, qv)) * "
-           "sqrt(list_dot_product(mel_profile, mel_profile)))")
+    cos = "list_dot_product(qv, mel_profile) / (qn * nrm)"
     return f"""
-WITH mel AS (SELECT * FROM read_parquet('{path}/*.parquet')),
-q AS (SELECT clip_id AS query_id, mel_profile AS qv
+WITH mel AS (SELECT *, sqrt(list_dot_product(mel_profile, mel_profile))
+                    AS nrm
+             FROM read_parquet('{path}/*.parquet')),
+q AS (SELECT clip_id AS query_id, mel_profile AS qv, nrm AS qn
       FROM mel ORDER BY clip_id LIMIT 3),
 scored AS (
   SELECT q.query_id, m.clip_id, ROUND({cos}, 4) AS mel_cos
