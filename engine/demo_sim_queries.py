@@ -179,14 +179,6 @@ FROM dist GROUP BY label
 """
 
 
-def _cos(a_col, b_col):
-    dot = F.aggregate(F.zip_with(a_col, b_col, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
-
-
 def q_embedding_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: adaptive LSH bucket as the BLOCKING key
     (plane count scales with corpus size), bucket-width cap as the skew
@@ -272,13 +264,23 @@ def q_ann_ivf(spark, sf_dir):
                 .withColumn("rk", F.row_number().over(
                     Window.partitionBy("vec_id").orderBy("dist", "cell")))
                 .where(F.col("rk") == 1)
-                .select("vec_id", "embedding", "cell"))
+                .select("vec_id", "embedding", "cell")
+                # norm per row before the probe join, not per (query, cand)
+                # pair — same hoist as the near-dup verify stage
+                .withColumn("nrm", F.sqrt(F.aggregate(
+                    F.col("embedding"), F.lit(0.0),
+                    lambda acc, x: acc + x * x))))
     q = (assigned.where(F.col("vec_id") < N_QUERIES_IVF)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv"), "cell"))
+                 F.col("embedding").alias("qv"),
+                 F.col("nrm").alias("qn"), "cell"))
     cand = assigned.select(F.col("vec_id").alias("cand_id"),
-                           F.col("embedding").alias("cv"), "cell")
-    cos = F.round(_cos(F.col("qv"), F.col("cv")), 3)
+                           F.col("embedding").alias("cv"),
+                           F.col("nrm").alias("cn"), "cell")
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("cv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("qn") * F.col("cn")), 3)
     scored = (q.join(cand, "cell")
               .where(F.col("cand_id") != F.col("query_id"))
               .select("query_id", "cand_id", cos.alias("cos_sim")))
@@ -304,13 +306,13 @@ assigned AS (
          ROW_NUMBER() OVER (PARTITION BY d2.vec_id
                             ORDER BY d2.dist, d2.cell) AS rk
   FROM d2 JOIN embeddings e ON d2.vec_id = e.vec_id),
-cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rk = 1),
+cells AS (SELECT vec_id, embedding, cell,
+                 sqrt(list_dot_product(embedding, embedding)) AS nrm
+          FROM assigned WHERE rk = 1),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          ROUND(list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))), 3)
-           AS cos_sim
+               / (q.nrm * c.nrm), 3) AS cos_sim
   FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES_IVF}),
 ranked AS (
