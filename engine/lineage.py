@@ -16,8 +16,12 @@ resumability around the expensive stage:
      the audio payload.  Decision + labels + lineage_metrics are then a
      full overwrite, safe to repeat.
 
-State rows carry config.rule_version(): changing any threshold
-invalidates every checkpoint automatically.
+State rows carry config.rule_version(), which hashes the thresholds AND
+the label-determining source bytes (config.label_code_version) AND the
+scored-schema field names: changing any threshold, any scoring/decision
+code, or the fused UDF's output schema invalidates every checkpoint
+automatically — a resume can never mix label semantics or read a
+mixed-schema scored/ dir.
 """
 
 from __future__ import annotations

@@ -237,3 +237,83 @@ def test_repair_batch_invariants(t, dur):
             if ok:
                 exp_rep, exp_t = True, norm
     assert (rep[0], out[0]) == (exp_rep, exp_t)
+
+
+# ---------------------------------------------------------------------------
+# rule_version coverage: every label-affecting constant must perturb it
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from engine import audio_core  # noqa: E402
+
+_VERSIONED_CONSTANTS = [
+    (config, "DUR_MS_MIN"), (config, "DUR_MS_MAX"),
+    (config, "TXT_LEN_MIN"), (config, "TXT_LEN_MAX"),
+    (config, "ALPHA_RATIO_MIN"),
+    (config, "CHARS_PER_SEC_MIN"), (config, "CHARS_PER_SEC_MAX"),
+    (config, "DUR_MISMATCH_FRAC"),
+    (config, "SILENCE_FRAME_RMS"), (config, "SILENCE_RATIO_MAX"),
+    (config, "LID_MARGIN_MIN"), (config, "PPL_MAX"),
+    (config, "SIMHASH_BANDS"), (config, "SIMHASH_BAND_BITS"),
+    (config, "SIMHASH_BUCKET_CAP"), (config, "SIMHASH_HAMMING_MAX"),
+    (config, "SIMHASH_SHINGLE_K"), (config, "SIMHASH_MIN_TOKENS"),
+    (config, "N_PARTS"),
+    (audio_core, "FRAME_MS"), (audio_core, "HOP_MS"),
+    (audio_core, "FALLBACK_SR"), (audio_core, "CLIP_THRESHOLD"),
+]
+
+
+@pytest.mark.parametrize(
+    "mod,name", _VERSIONED_CONSTANTS,
+    ids=[f"{m.__name__.split('.')[-1]}.{n}" for m, n in _VERSIONED_CONSTANTS])
+def test_rule_version_covers_constant(monkeypatch, mod, name):
+    """Round-3 verdict item 3: changing any label-affecting constant must
+    change rule_version() (and hence invalidate committed checkpoints and
+    the content-addressed oracle materializations)."""
+    base = config.rule_version()
+    cur = getattr(mod, name)
+    monkeypatch.setattr(mod, name, cur + 1 if isinstance(cur, int) else cur * 2)
+    assert config.rule_version() != base
+    monkeypatch.undo()
+    assert config.rule_version() == base
+
+
+def test_rule_version_covers_rule_order_and_allowlists(monkeypatch):
+    base = config.rule_version()
+    monkeypatch.setattr(config, "RULE_ORDER", tuple(reversed(config.RULE_ORDER)))
+    assert config.rule_version() != base
+    monkeypatch.undo()
+    monkeypatch.setattr(config, "SR_ALLOWLIST", (8000,))
+    assert config.rule_version() != base
+    monkeypatch.undo()
+    monkeypatch.setattr(config, "CODEC_ALLOWLIST", ("pcm_s16le",))
+    assert config.rule_version() != base
+
+
+def test_rule_version_includes_code_hash_and_schema():
+    """The version must be a function of the label-determining SOURCE
+    (verdict item 1 / ADVICE resume-compat): perturbing the cached code
+    hash or the scored-schema marker changes rule_version()."""
+    from engine.operators import scoring
+
+    base = config.rule_version()
+    assert config.label_code_version()  # computable (also under zipimport)
+
+    config._CODE_VERSION_CACHE[0] = "0" * 16
+    try:
+        assert config.rule_version() != base
+    finally:
+        config._CODE_VERSION_CACHE.clear()
+    assert config.rule_version() == base
+
+    fields = scoring.SCORED_FIELDS
+    renamed = list(fields)
+    import pyspark.sql.types as T
+    renamed[0] = T.StructField("renamed_clip_id", T.StringType(), False)
+    scoring.SCORED_FIELDS = renamed
+    try:
+        assert config.rule_version() != base
+    finally:
+        scoring.SCORED_FIELDS = fields
+    assert config.rule_version() == base
