@@ -296,29 +296,6 @@ def _w_user():
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
-def q_window_gap_detect(spark, sf_dir):
-    """W1/J6: adjacent-row gap detection via lead() over the user window —
-    the Spark form of `endtime[i] < starttime[i+1]` (Step3:5-7)."""
-    ev = _t(spark, sf_dir, "events")
-    return (ev.withColumn("next_ts", F.lead("ts").over(_w_user()))
-            .withColumn("gap_min",
-                        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts"))
-                        / F.lit(60.0))
-            .where(F.col("gap_min") > 120)
-            .select("user_id", "event_id",
-                    F.round("gap_min", 4).alias("gap_min")))
-
-
-SQL_WINDOW_GAP_DETECT = """
-SELECT user_id, event_id, ROUND(gap_min, 4) AS gap_min FROM (
-  SELECT user_id, event_id,
-         (FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
-          - FLOOR(EPOCH(ts))) / 60.0 AS gap_min
-  FROM events) t
-WHERE gap_min > 120
-"""
-
-
 def q_window_overlap_detect(spark, sf_dir):
     """W2/W3: interval overlap/containment against the next row.  Intervals
     are synthesized as [ts, ts + value seconds] (graft of episode
@@ -408,8 +385,13 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def q_gap_row_synthesis(spark, sf_dir):
-    """W6/O3: synthesize a row per detected gap and union it back
-    (MI-row synthesis + rbind + resort, Step3:10-22)."""
+    """W1/W6/O3: adjacent-row gap DETECTION (lead() over the user window,
+    the Spark form of `endtime[i] < starttime[i+1]`, Step3:5-7) +
+    synthesize a row per detected gap and union it back (MI-row synthesis
+    + rbind + resort, Step3:10-22).  Absorbed the round-3 standalone
+    `window_gap_detect` entry: the gap-detect window subquery here IS that
+    operator, recomputed independently by the oracle, and folding it keeps
+    the 50-entry driver correctness window intact."""
     ev = _t(spark, sf_dir, "events")
     base = ev.select("user_id",
                      F.col("event_id").cast("long").alias("event_id"),
@@ -475,75 +457,83 @@ FROM runs GROUP BY user_id, run_id
 """
 
 
-def q_interp_midpoint(spark, sf_dir):
-    """W9/C7/C8: midpoint interpolation arithmetic — even/odd split via
-    modular arithmetic on the gap (Step3:1142-1260, collapsed to one
-    parameterized expression)."""
-    ev = _t(spark, sf_dir, "events")
-    df = (ev.withColumn("next_ts", F.lead("ts").over(_w_user()))
-          .where(F.col("next_ts").isNotNull()))
-    gap_s = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
-    gap_min = F.floor(gap_s / 60).cast("long")
-    return df.select(
-        "user_id", "event_id",
-        gap_min.alias("gap_min"),
-        (gap_min % 2 == 0).alias("even_gap"),
-        F.floor(gap_min / 2).cast("long").alias("half_gap"),
-        (F.unix_timestamp("ts") + F.floor(gap_s / 2)).cast("long").alias("mid_s"))
-
-
-SQL_INTERP_MIDPOINT = """
-WITH nx AS (
-  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
-         CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
-             AS next_s
-  FROM events)
-SELECT user_id, event_id,
-       CAST(FLOOR((next_s - ts_s) / 60) AS BIGINT) AS gap_min,
-       CAST(FLOOR((next_s - ts_s) / 60) AS BIGINT) % 2 = 0 AS even_gap,
-       CAST(FLOOR(CAST(FLOOR((next_s - ts_s) / 60) AS BIGINT) / 2) AS BIGINT)
-           AS half_gap,
-       ts_s + CAST(FLOOR((next_s - ts_s) / 2) AS BIGINT) AS mid_s
-FROM nx WHERE next_s IS NOT NULL
-"""
-
-
-def q_haversine_adjacent(spark, sf_dir):
-    """C1/W7: haversine distance between consecutive per-user points
-    (distance84, _Functions_.R:1-12, incl. its 4-decimal round; coords
-    derived deterministically from integer columns)."""
+def q_adjacent_pair_calc(spark, sf_dir):
+    """W9/W7/C1/C2/C7/C8: the full adjacent-pair calc family in ONE window
+    pass over consecutive per-user events — time-midpoint interpolation
+    arithmetic with the even/odd modular split (Step3:1142-1260), haversine
+    distance (distance84, _Functions_.R:1-12, incl. its 4-decimal round)
+    and the spherical geodesic midpoint (the great-circle analog of the
+    reference's project->average->reproject midpoint, _Functions_.R:14-29).
+    Merged from the round-3 `interp_midpoint` / `haversine_adjacent` /
+    `geodesic_midpoint` entries: all three shared the same adjacent-pair
+    row basis, so one entry keeps the 50-entry driver correctness window
+    intact AND pays the lead() shuffle+sort once instead of three times.
+    Coords derived deterministically from integer columns; trig rounded to
+    4 dp to absorb libm ulp differences between engines."""
     ev = _t(spark, sf_dir, "events")
     lat = ((F.col("event_id") % 120) - 60 + F.lit(0.5)).cast("double")
     lon = (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
     df = (ev.withColumn("lat", lat).withColumn("lon", lon)
+          .withColumn("next_ts", F.lead("ts").over(_w_user()))
           .withColumn("lat2", F.lead("lat").over(_w_user()))
           .withColumn("lon2", F.lead("lon").over(_w_user()))
-          .where(F.col("lat2").isNotNull()))
+          .where(F.col("next_ts").isNotNull()))
+    gap_s = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    gap_min = F.floor(gap_s / 60).cast("long")
     r = 6371.001
     rad = lambda c: F.radians(c)  # noqa: E731
     a = (F.sin((rad(F.col("lat2")) - rad(F.col("lat"))) / 2) ** 2
          + F.cos(rad(F.col("lat"))) * F.cos(rad(F.col("lat2")))
          * F.sin((rad(F.col("lon2")) - rad(F.col("lon"))) / 2) ** 2)
     dist = F.lit(2 * r) * F.asin(F.sqrt(a))
-    return df.select("user_id", "event_id",
-                     F.round(dist, 4).alias("dist_km"))
+    la1, la2 = F.radians("lat"), F.radians("lat2")
+    dlon = F.radians(F.col("lon2") - F.col("lon"))
+    bx = F.cos(la2) * F.cos(dlon)
+    by = F.cos(la2) * F.sin(dlon)
+    lat_m = F.atan2(F.sin(la1) + F.sin(la2),
+                    F.sqrt((F.cos(la1) + bx) ** 2 + by ** 2))
+    lon_m = F.radians("lon") + F.atan2(by, F.cos(la1) + bx)
+    return df.select(
+        "user_id", "event_id",
+        gap_min.alias("gap_min"),
+        (gap_min % 2 == 0).alias("even_gap"),
+        F.floor(gap_min / 2).cast("long").alias("half_gap"),
+        (F.unix_timestamp("ts") + F.floor(gap_s / 2)).cast("long").alias("mid_s"),
+        F.round(dist, 4).alias("dist_km"),
+        F.round(F.degrees(lat_m), 4).alias("mid_lat"),
+        F.round(F.degrees(lon_m), 4).alias("mid_lon"))
 
 
-SQL_HAVERSINE_ADJACENT = """
+SQL_ADJACENT_PAIR_CALC = """
 WITH pts AS (
-  SELECT user_id, event_id, ts,
+  SELECT user_id, event_id, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
          CAST((event_id % 120) - 60 + 0.5 AS DOUBLE) AS lat,
          CAST(((event_id * 7) % 360) - 180 + 0.25 AS DOUBLE) AS lon
   FROM events),
 nx AS (
-  SELECT *, LEAD(lat) OVER w AS lat2, LEAD(lon) OVER w AS lon2
-  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, event_id,
+  SELECT *, LEAD(ts_s) OVER w AS next_s,
+         LEAD(lat) OVER w AS lat2, LEAD(lon) OVER w AS lon2
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, event_id, ts_s, next_s, lat, lon, lat2, lon2,
+         RADIANS(lat) AS la1, RADIANS(lat2) AS la2,
+         COS(RADIANS(lat2)) * COS(RADIANS(lon2 - lon)) AS bx,
+         COS(RADIANS(lat2)) * SIN(RADIANS(lon2 - lon)) AS by,
+         RADIANS(lon) AS lo1,
+         CAST(FLOOR((next_s - ts_s) / 60) AS BIGINT) AS gap_min
+  FROM nx WHERE next_s IS NOT NULL)
+SELECT user_id, event_id, gap_min,
+       gap_min % 2 = 0 AS even_gap,
+       CAST(FLOOR(gap_min / 2) AS BIGINT) AS half_gap,
+       ts_s + CAST(FLOOR((next_s - ts_s) / 2) AS BIGINT) AS mid_s,
        ROUND(2 * 6371.001 * ASIN(SQRT(
          POW(SIN((RADIANS(lat2) - RADIANS(lat)) / 2), 2)
          + COS(RADIANS(lat)) * COS(RADIANS(lat2))
-           * POW(SIN((RADIANS(lon2) - RADIANS(lon)) / 2), 2))), 4) AS dist_km
-FROM nx WHERE lat2 IS NOT NULL
+           * POW(SIN((RADIANS(lon2) - RADIANS(lon)) / 2), 2))), 4) AS dist_km,
+       ROUND(DEGREES(ATAN2(SIN(la1) + SIN(la2),
+             SQRT((COS(la1) + bx) * (COS(la1) + bx) + by * by))), 4) AS mid_lat,
+       ROUND(DEGREES(lo1 + ATAN2(by, COS(la1) + bx)), 4) AS mid_lon
+FROM m
 """
 
 
@@ -619,57 +609,6 @@ SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
 FROM t a JOIN t b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND ABS(b.s - a.s) <= {RANGE_JOIN_WINDOW_S}
-"""
-
-
-def q_geodesic_midpoint(spark, sf_dir):
-    """C2: geodesic midpoint between consecutive per-user points — the
-    great-circle analog of the reference's project->average->reproject
-    midpoint (_Functions_.R:14-29, EPSG:4326->26915->4326).  Spherical
-    midpoint via the Cartesian-average formula (atan2 form), coords derived
-    deterministically like haversine_adjacent; rounded to 4 dp to absorb
-    libm ulp differences between engines."""
-    ev = _t(spark, sf_dir, "events")
-    lat = ((F.col("event_id") % 120) - 60 + F.lit(0.5)).cast("double")
-    lon = (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
-    df = (ev.withColumn("lat", lat).withColumn("lon", lon)
-          .withColumn("lat2", F.lead("lat").over(_w_user()))
-          .withColumn("lon2", F.lead("lon").over(_w_user()))
-          .where(F.col("lat2").isNotNull()))
-    la1, la2 = F.radians("lat"), F.radians("lat2")
-    dlon = F.radians(F.col("lon2") - F.col("lon"))
-    bx = F.cos(la2) * F.cos(dlon)
-    by = F.cos(la2) * F.sin(dlon)
-    lat_m = F.atan2(F.sin(la1) + F.sin(la2),
-                    F.sqrt((F.cos(la1) + bx) ** 2 + by ** 2))
-    lon_m = F.radians("lon") + F.atan2(by, F.cos(la1) + bx)
-    return df.select(
-        "user_id", "event_id",
-        F.round(F.degrees(lat_m), 4).alias("mid_lat"),
-        F.round(F.degrees(lon_m), 4).alias("mid_lon"))
-
-
-SQL_GEODESIC_MIDPOINT = """
-WITH pts AS (
-  SELECT user_id, event_id, ts,
-         CAST((event_id % 120) - 60 + 0.5 AS DOUBLE) AS lat,
-         CAST(((event_id * 7) % 360) - 180 + 0.25 AS DOUBLE) AS lon
-  FROM events),
-nx AS (
-  SELECT *, LEAD(lat) OVER w AS lat2, LEAD(lon) OVER w AS lon2
-  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-m AS (
-  SELECT user_id, event_id,
-         RADIANS(lat) AS la1, RADIANS(lat2) AS la2,
-         COS(RADIANS(lat2)) * COS(RADIANS(lon2 - lon)) AS bx,
-         COS(RADIANS(lat2)) * SIN(RADIANS(lon2 - lon)) AS by,
-         RADIANS(lon) AS lo1
-  FROM nx WHERE lat2 IS NOT NULL)
-SELECT user_id, event_id,
-       ROUND(DEGREES(ATAN2(SIN(la1) + SIN(la2),
-             SQRT((COS(la1) + bx) * (COS(la1) + bx) + by * by))), 4) AS mid_lat,
-       ROUND(DEGREES(lo1 + ATAN2(by, COS(la1) + bx)), 4) AS mid_lon
-FROM m
 """
 
 
@@ -842,15 +781,12 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
     "label_propagation": q_label_propagation,
-    "window_gap_detect": q_window_gap_detect,
     "window_overlap_detect": q_window_overlap_detect,
     "window_first_last": q_window_first_last,
     "neighbor_context": q_neighbor_context,
     "gap_row_synthesis": q_gap_row_synthesis,
     "run_collapse": q_run_collapse,
-    "interp_midpoint": q_interp_midpoint,
-    "haversine_adjacent": q_haversine_adjacent,
-    "geodesic_midpoint": q_geodesic_midpoint,
+    "adjacent_pair_calc": q_adjacent_pair_calc,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "json_extract": q_json_extract,
@@ -860,7 +796,6 @@ ORACLE_SQL = {
     "fuzzy_membership": SQL_FUZZY_MEMBERSHIP,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
     "pivot_counts": SQL_PIVOT_COUNTS,
-    "geodesic_midpoint": SQL_GEODESIC_MIDPOINT,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "windowed_event_stats": SQL_WINDOWED_EVENT_STATS,
@@ -876,13 +811,11 @@ ORACLE_SQL = {
     "join_anti": SQL_JOIN_ANTI,
     "join_semi": SQL_JOIN_SEMI,
     "label_propagation": SQL_LABEL_PROPAGATION,
-    "window_gap_detect": SQL_WINDOW_GAP_DETECT,
     "window_overlap_detect": SQL_WINDOW_OVERLAP_DETECT,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "neighbor_context": SQL_NEIGHBOR_CONTEXT,
     "gap_row_synthesis": SQL_GAP_ROW_SYNTHESIS,
     "run_collapse": SQL_RUN_COLLAPSE,
-    "interp_midpoint": SQL_INTERP_MIDPOINT,
-    "haversine_adjacent": SQL_HAVERSINE_ADJACENT,
+    "adjacent_pair_calc": SQL_ADJACENT_PAIR_CALC,
     "json_extract": SQL_JSON_EXTRACT,
 }
