@@ -11,6 +11,17 @@ pure-pandas oracle so the correctness gate compares *pipeline semantics*
 hand-written scorers.  The math is deterministic: fixed corpus, fixed
 smoothing, no RNG at score time.
 
+Scoring is BATCH-VECTORIZED (north_star: "batched n-gram hashing, no
+per-row Python"): trigrams are extracted for the whole batch as uint32
+codepoint windows over one concatenated UTF-32 buffer, hashed to integer
+keys, looked up in a sorted key table via one searchsorted, scored
+against a dense (vocab x n_langs) log-prob matrix, and summed per text
+with np.add.reduceat.  `score_text` is the batch of one — reduceat's
+per-segment reduction is a pure function of the segment contents
+(pinned by tests/test_lid_ppl.py), so scalar and batch forms are
+bit-identical and the pandas oracle (which scores row-at-a-time) matches
+the Spark UDF (which scores 512-row batches) exactly.
+
 Classification-driven labeling grafts the reference's fitted-model
 label-stamping (gamlssMX fits -> cluster labels joined back,
 Step3-Temporal-Inconsistency.R:150-355,849-949): fit offline, broadcast,
@@ -35,7 +46,12 @@ def _trigrams(text: str):
         yield t[i:i + 3]
 
 
-def _train() -> tuple[list[str], list[dict[str, float]], list[float]]:
+def _tri_key(g: str) -> int:
+    """Injective trigram -> uint64 key (3 x 21-bit codepoints)."""
+    return (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+
+
+def _train():
     langs = list(templates.LANGS)
     counts: list[dict[str, int]] = []
     for lang in langs:
@@ -48,44 +64,85 @@ def _train() -> tuple[list[str], list[dict[str, float]], list[float]]:
     for c in counts:
         vocab.update(c)
     v = len(vocab) + 1  # +1 for OOV bucket
-    logprobs: list[dict[str, float]] = []
-    oov: list[float] = []
-    for c in counts:
+    # dense model: sorted integer trigram keys + (vocab x n_langs) log-prob
+    # matrix + per-lang OOV log-prob row
+    keys = np.array(sorted(_tri_key(g) for g in vocab), dtype=np.uint64)
+    key_of = {k: i for i, k in enumerate(keys.tolist())}
+    mat = np.empty((len(vocab), len(langs)), dtype=np.float64)
+    oov = np.empty(len(langs), dtype=np.float64)
+    for k, c in enumerate(counts):
         total = sum(c.values())
         denom = total + _SMOOTH * v
-        logprobs.append({g: math.log((n + _SMOOTH) / denom) for g, n in c.items()})
-        oov.append(math.log(_SMOOTH / denom))
-    return langs, logprobs, oov
+        oov[k] = math.log(_SMOOTH / denom)
+        mat[:, k] = oov[k]
+        for g, n in c.items():
+            mat[key_of[_tri_key(g)], k] = math.log((n + _SMOOTH) / denom)
+    return langs, keys, mat, oov
 
 
-_LANGS, _LOGPROBS, _OOV = _train()
-
-
-def score_text(text: str) -> tuple[str, float]:
-    """Return (predicted_lang, margin).
-
-    margin = (best - second best) mean per-trigram log-likelihood; ~0 for
-    mixed-language token salad, large for clean single-language text.
-    Empty/degenerate text -> ("und", 0.0).
-    """
-    grams = list(_trigrams(text or ""))
-    if not grams:
-        return "und", 0.0
-    scores = np.empty(len(_LANGS))
-    for k in range(len(_LANGS)):
-        lp, oov = _LOGPROBS[k], _OOV[k]
-        scores[k] = sum(lp.get(g, oov) for g in grams) / len(grams)
-    order = np.argsort(scores)
-    best, second = int(order[-1]), int(order[-2])
-    return _LANGS[best], float(scores[best] - scores[second])
+_LANGS, _KEYS, _MAT, _OOV = _train()
+_N_VOCAB = len(_KEYS)
 
 
 def score_batch(texts) -> tuple[list[str], np.ndarray]:
-    """Vectorized-over-batch scoring (list in, arrays out)."""
-    langs: list[str] = []
-    margins = np.empty(len(texts))
+    """Vectorized batch scoring: (texts) -> (langs, margins).
+
+    margin = (best - second best) mean per-trigram log-likelihood; ~0 for
+    mixed-language token salad, large for clean single-language text.
+    Empty/degenerate text -> ("und", 0.0)."""
+    n = len(texts)
+    langs: list[str] = ["und"] * n
+    margins = np.zeros(n, dtype=np.float64)
+
+    # one concatenated UTF-32 codepoint buffer for all non-empty texts
+    padded: list[bytes] = []
+    rows: list[int] = []
+    glens: list[int] = []
     for i, t in enumerate(texts):
-        lang, m = score_text(t if isinstance(t, str) else "")
-        langs.append(lang)
-        margins[i] = m
+        s = t if isinstance(t, str) else ""
+        if not s:
+            continue
+        p = _PAD + s.lower() + _PAD
+        padded.append(p.encode("utf-32-le"))
+        rows.append(i)
+        glens.append(len(p) - 2)
+    if not rows:
+        return langs, margins
+
+    cp = np.frombuffer(b"".join(padded), dtype="<u4").astype(np.uint64)
+    glens_a = np.array(glens, dtype=np.int64)
+    # start offset of each text's codepoints in `cp`
+    offs = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(glens_a[:-1] + 2, out=offs[1:])
+    # valid trigram start positions (windows never cross a text boundary)
+    seg_starts = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(glens_a[:-1], out=seg_starts[1:])
+    total = int(seg_starts[-1] + glens_a[-1])
+    starts = (np.repeat(offs, glens_a)
+              + np.arange(total, dtype=np.int64)
+              - np.repeat(seg_starts, glens_a))
+
+    keys = (cp[starts] << np.uint64(42)) | (cp[starts + 1] << np.uint64(21)) \
+        | cp[starts + 2]
+    idx = np.searchsorted(_KEYS, keys)
+    idx[idx == _N_VOCAB] = 0
+    found = _KEYS[idx] == keys
+    tri = np.where(found[:, None], _MAT[idx], _OOV[None, :])
+
+    sums = np.add.reduceat(tri, seg_starts, axis=0)
+    scores = sums / glens_a[:, None]
+    order = np.argsort(scores, axis=1)  # same argsort as the scalar form
+    best, second = order[:, -1], order[:, -2]
+    r = np.arange(len(rows))
+    m = scores[r, best] - scores[r, second]
+    for j, i in enumerate(rows):
+        langs[i] = _LANGS[best[j]]
+        margins[i] = m[j]
     return langs, margins
+
+
+def score_text(text: str) -> tuple[str, float]:
+    """Scalar form = batch of one (bit-identical: the batch scorer's
+    per-text reduction is independent of the surrounding batch)."""
+    langs, margins = score_batch([text])
+    return langs[0], float(margins[0])

@@ -100,12 +100,7 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     langs, margins = lid_core.score_batch(scrubbed)
     ppls = ppl_core.perplexity_batch(scrubbed, langs)
 
-    sims, bands = [], [[], [], [], []]
-    for t in scrubbed:
-        u = simhash_core.simhash_for_dedup(t)
-        sims.append(simhash_core.to_signed64(u))
-        for bi, bv in enumerate(simhash_core.bands(u)):
-            bands[bi].append(bv)
+    sims, band_vals = simhash_core.dedup_batch(scrubbed)
 
     out = pd.DataFrame({
         "clip_id": pdf["clip_id"].values,
@@ -130,10 +125,10 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "lang": langs,
         "lid_margin": margins,
         "ppl_score": ppls,
-        "simhash": pd.array(sims, dtype="int64"),
+        "simhash": sims,
     })
     for i in range(4):
-        out[f"band{i}"] = pd.array(bands[i], dtype="int32")
+        out[f"band{i}"] = band_vals[:, i]
     return out
 
 

@@ -7,6 +7,16 @@ vocabulary scores high bigram perplexity while clean template text scores
 low — exactly the signal KenLM perplexity provides in web-scale text
 filtering (CCNet-style, public knowledge).
 
+Scoring is BATCH-VECTORIZED (north_star: "no per-row Python"): the batch's
+tokens are interned once via np.unique (one vocab-dict lookup per DISTINCT
+token, not per occurrence), bigram log-probs come from one searchsorted
+against a per-language sorted key table precomputed at train time (the
+same float ops as computing log(num/den) per row, done once), and per-text
+log-likelihoods are np.add.reduceat segment sums.  `perplexity` is the
+batch of one — reduceat's per-segment reduction is a pure function of the
+segment contents (pinned by tests/test_lid_ppl.py), so the row-at-a-time
+pandas oracle matches the batched Spark UDF exactly.
+
 Like the reference's mixture-model cutoffs (Step3:349-355), the resulting
 threshold lives in config.PPL_MAX as a constant.
 """
@@ -15,20 +25,25 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from . import templates
 
 _BOS = "<s>"
 _UNK = "<unk>"
 _K = 0.1
+_HUGE = 1e9
 
 
-def _train():
-    models: dict[str, dict] = {}
-    for lang in templates.LANGS:
+class _LangModel:
+    __slots__ = ("vocab_id", "unk_id", "bos_id", "bi_keys", "bi_logp",
+                 "miss_logp")
+
+    def __init__(self, sents: list[str]):
         uni: dict[str, int] = {}
         bi: dict[tuple[str, str], int] = {}
         ctx: dict[str, int] = {}
-        for sent in templates.SENTENCES[lang]:
+        for sent in sents:
             words = sent.split()
             for w in words:
                 uni[w] = uni.get(w, 0) + 1
@@ -36,37 +51,92 @@ def _train():
             for a, b in zip(padded, padded[1:]):
                 bi[(a, b)] = bi.get((a, b), 0) + 1
                 ctx[a] = ctx.get(a, 0) + 1
-        vocab = set(uni) | {_BOS, _UNK}
-        models[lang] = {"bi": bi, "ctx": ctx, "v": len(vocab), "vocab": set(uni)}
-    return models
+        v = len(set(uni) | {_BOS, _UNK})
+
+        # token ids: words 0..V-1, then UNK, then BOS
+        self.vocab_id = {w: i for i, w in enumerate(sorted(uni))}
+        self.unk_id = len(self.vocab_id)
+        self.bos_id = self.unk_id + 1
+        n_ids = self.bos_id + 1
+
+        def _tid(w: str) -> int:
+            if w == _BOS:
+                return self.bos_id
+            return self.vocab_id.get(w, self.unk_id)
+
+        # per-context miss log-prob: log(K / (ctx_count + K*v)) — the same
+        # float division + log the scalar form computed per occurrence
+        miss = np.empty(n_ids, dtype=np.float64)
+        for w, i in self.vocab_id.items():
+            miss[i] = math.log(_K / (ctx.get(w, 0) + _K * v))
+        miss[self.unk_id] = math.log(_K / (ctx.get(_UNK, 0) + _K * v))
+        miss[self.bos_id] = math.log(_K / (ctx.get(_BOS, 0) + _K * v))
+        self.miss_logp = miss
+
+        keys = np.empty(len(bi), dtype=np.int64)
+        logp = np.empty(len(bi), dtype=np.float64)
+        for j, ((a, b), n) in enumerate(bi.items()):
+            keys[j] = _tid(a) * n_ids + _tid(b)
+            logp[j] = math.log((n + _K) / (ctx.get(a, 0) + _K * v))
+        order = np.argsort(keys)
+        self.bi_keys = keys[order]
+        self.bi_logp = logp[order]
 
 
-_MODELS = _train()
+_MODELS = {lang: _LangModel(templates.SENTENCES[lang])
+           for lang in templates.LANGS}
 
 
-def perplexity(text: str, lang: str) -> float:
-    """Bigram perplexity of `text` under `lang`'s model.
+def _score_group(m: _LangModel, toks_per_text: list[list[str]]) -> np.ndarray:
+    """Vectorized perplexity for one language's texts (all non-empty)."""
+    lens = np.array([len(t) for t in toks_per_text], dtype=np.int64)
+    flat: list[str] = [w for toks in toks_per_text for w in toks]
+    # intern: one dict lookup per DISTINCT token in the group
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    uid = np.fromiter((m.vocab_id.get(u, m.unk_id) for u in uniq),
+                      dtype=np.int64, count=len(uniq))
+    ids = uid[inv]
 
-    OOV words map to <unk>.  Unknown lang ("und") or empty text -> +inf
-    stand-in (1e9) so the HIGH_PPL rule fires deterministically.
-    """
-    m = _MODELS.get(lang)
-    words = (text or "").split()
-    if m is None or not words:
-        return 1e9
-    vocab = m["vocab"]
-    toks = [w if w in vocab else _UNK for w in words]
-    bi, ctx, v = m["bi"], m["ctx"], m["v"]
-    ll = 0.0
-    prev = _BOS
-    for w in toks:
-        num = bi.get((prev, w), 0) + _K
-        den = ctx.get(prev, 0) + _K * v
-        ll += math.log(num / den)
-        prev = w
-    return math.exp(-ll / len(toks))
+    seg_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=seg_starts[1:])
+    prev = np.empty_like(ids)
+    prev[1:] = ids[:-1]
+    prev[seg_starts] = m.bos_id
+
+    n_ids = m.bos_id + 1
+    keys = prev * n_ids + ids
+    idx = np.searchsorted(m.bi_keys, keys)
+    idx[idx == len(m.bi_keys)] = 0
+    found = m.bi_keys[idx] == keys
+    ll_tok = np.where(found, m.bi_logp[idx], m.miss_logp[prev])
+
+    ll = np.add.reduceat(ll_tok, seg_starts)
+    return np.exp(-ll / lens)
 
 
 def perplexity_batch(texts, langs) -> list[float]:
-    return [perplexity(t if isinstance(t, str) else "", lang)
-            for t, lang in zip(texts, langs)]
+    """Vectorized batch form: bigram perplexity of each text under its
+    language's model.  OOV words map to <unk>; unknown lang ("und") or
+    empty text -> +inf stand-in (1e9) so HIGH_PPL fires deterministically."""
+    n = len(texts)
+    out = np.full(n, _HUGE, dtype=np.float64)
+    groups: dict[str, tuple[list[int], list[list[str]]]] = {}
+    for i, (t, lang) in enumerate(zip(texts, langs)):
+        m = _MODELS.get(lang)
+        if m is None:
+            continue
+        words = (t if isinstance(t, str) else "").split()
+        if not words:
+            continue
+        rows, toks = groups.setdefault(lang, ([], []))
+        rows.append(i)
+        toks.append(words)
+    for lang, (rows, toks) in groups.items():
+        out[np.array(rows, dtype=np.int64)] = _score_group(_MODELS[lang], toks)
+    return out.tolist()
+
+
+def perplexity(text: str, lang: str) -> float:
+    """Scalar form = batch of one (bit-identical: the batch scorer's
+    per-text reduction is independent of the surrounding batch)."""
+    return perplexity_batch([text], [lang])[0]

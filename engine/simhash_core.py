@@ -33,35 +33,97 @@ def _shingle_digest(shingle: str) -> bytes:
     return hashlib.blake2b(shingle.encode("utf-8"), digest_size=8).digest()
 
 
-def simhash64(text: str | None) -> int:
-    """64-bit SimHash as an unsigned python int (0 for empty text)."""
+def _shingles(text: str | None) -> list[str]:
     toks = (text or "").lower().split()
     if not toks:
-        return 0
+        return []
     k = config.SIMHASH_SHINGLE_K
     if len(toks) < k:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    buf = b"".join(_shingle_digest(s) for s in shingles)
-    raw = np.frombuffer(buf, dtype=np.uint8).reshape(len(shingles), 8)
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def simhash64(text: str | None) -> int:
+    """64-bit SimHash as an unsigned python int (0 for empty text).
+    Scalar form = batch of one (the batch bit-vote is segment-local, so
+    both forms are bit-identical — integer arithmetic throughout)."""
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized batch SimHash -> uint64 array (0 for empty texts).
+
+    Per-batch shape (north_star: "batched n-gram hashing"): shingle
+    strings are deduplicated across the whole batch and blake2b-hashed
+    once per DISTINCT shingle (boilerplate n-grams repeat heavily in a
+    web corpus); the bit votes then run as one unpackbits + one
+    np.add.reduceat over the concatenated digest buffer + one packbits —
+    no per-row Python bit loop.  The digest per shingle is unchanged, so
+    values are identical to hashing row-at-a-time."""
+    counts: list[int] = []
+    all_shingles: list[str] = []
+    for t in texts:
+        sh = _shingles(t)
+        counts.append(len(sh))
+        all_shingles.extend(sh)
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not all_shingles:
+        return out
+
+    cache: dict[str, bytes] = {}
+    buf = bytearray()
+    for s in all_shingles:
+        d = cache.get(s)
+        if d is None:
+            d = _shingle_digest(s)
+            cache[s] = d
+        buf += d
+
+    counts_a = np.array(counts, dtype=np.int64)
+    nonempty = counts_a > 0
+    seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts_a[nonempty][:-1], out=seg[1:])
+
+    raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 8)
     bits = np.unpackbits(raw, axis=1, bitorder="little")  # (n_shingles, 64)
-    acc = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
+    # int32, not int16: a pathological multi-100k-token transcript (all
+    # rows get all scores, even TXT_LEN failures) would overflow 16 bits
+    votes = np.add.reduceat(bits.astype(np.int32), seg, axis=0)
+    # majority: bit set iff (#ones) * 2 > #shingles  <=>  acc > 0 in the
+    # +1/-1 vote formulation
+    pos = (2 * votes > counts_a[nonempty][:, None])
+    out[nonempty] = np.packbits(pos, axis=1, bitorder="little") \
+        .view("<u8").ravel()
     return out
 
 
 def simhash_for_dedup(text: str | None) -> int:
     """SimHash used by the NEAR_DUP rule: 0 (= excluded from banding) for
     texts shorter than SIMHASH_MIN_TOKENS tokens; see config for rationale.
-    Shared by the Spark scoring UDF and the oracle."""
+    Shared by the Spark scoring UDF (batch form below) and the oracle."""
     toks = (text or "").split()
     if len(toks) < config.SIMHASH_MIN_TOKENS:
         return 0
     return simhash64(text)
+
+
+def dedup_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch form of the NEAR_DUP signature for the scoring UDF:
+    (signed int64 simhashes, (n, SIMHASH_BANDS) int32 band values).
+    Identical values to calling simhash_for_dedup / to_signed64 / bands
+    per row (pinned by tests/test_dedup.py)."""
+    gated = [t if isinstance(t, str)
+             and len(t.split()) >= config.SIMHASH_MIN_TOKENS else None
+             for t in texts]
+    u = simhash64_batch(gated)
+    signed = u.view(np.int64)  # two's-complement reinterpret == to_signed64
+    w = np.uint64(config.SIMHASH_BAND_BITS)
+    mask = np.uint64((1 << config.SIMHASH_BAND_BITS) - 1)
+    band_vals = np.empty((len(texts), config.SIMHASH_BANDS), dtype=np.int32)
+    for i in range(config.SIMHASH_BANDS):
+        band_vals[:, i] = ((u >> (np.uint64(i) * w)) & mask).astype(np.int32)
+    return signed, band_vals
 
 
 def to_signed64(u: int) -> int:

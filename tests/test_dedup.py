@@ -220,3 +220,25 @@ def test_skew_injected_band_join_matches_oracle(spark, monkeypatch):
     assert not any(exp[f"m{i}"] for i in range(6))  # mega bucket skipped
     assert exp["x1"] and not exp["x0"]  # hot-band clip caught via cold band
     assert exp["p1"] and not exp["p0"]
+
+
+def test_simhash_batch_matches_scalar_exactly():
+    """dedup_batch (the scoring UDF's vectorized path) must emit the same
+    signed simhash + band values as the scalar simhash_for_dedup /
+    to_signed64 / bands chain the pandas oracle uses — integer-exact."""
+    import numpy as np
+
+    from engine import simhash_core, templates
+
+    rng = np.random.default_rng(11)
+    texts = ["", None, "a b c", " ".join(["tok"] * 20)]
+    for lang in templates.LANGS:
+        words = " ".join(templates.SENTENCES[lang][:6]).split()
+        for n in (3, 15, 16, 17, 40, 200):
+            texts.append(" ".join(
+                words[int(rng.integers(0, 5)):][:n]))
+    signed, band_vals = simhash_core.dedup_batch(texts)
+    for i, t in enumerate(texts):
+        u = simhash_core.simhash_for_dedup(t)
+        assert signed[i] == simhash_core.to_signed64(u)
+        assert band_vals[i].tolist() == simhash_core.bands(u)

@@ -55,3 +55,32 @@ def test_batch_forms_match_scalar():
         sl, sm = lid_core.score_text(t)
         assert langs[i] == sl and margins[i] == sm
         assert ppls[i] == ppl_core.perplexity(t, sl)
+
+
+def test_batch_scoring_is_composition_independent():
+    """The vectorized batch scorers must give each text a result that is a
+    pure function of that text alone (np.add.reduceat per-segment sums are
+    segment-local): the pandas oracle scores row-at-a-time while the Spark
+    UDF scores 512-row batches, and the pipeline gate compares them
+    bit-exactly."""
+    rng = np.random.default_rng(3)
+    texts = []
+    for lang in templates.LANGS:
+        for i in range(6):
+            texts.append(" ".join(templates.SENTENCES[lang][i:i + 3]))
+    texts += ["", "a", "zz qq xx", " ".join(["tok"] * 300)]
+    langs_all, margins_all = lid_core.score_batch(texts)
+    ppl_all = ppl_core.perplexity_batch(texts, langs_all)
+
+    for _ in range(5):
+        perm = rng.permutation(len(texts))
+        cut = int(rng.integers(1, len(texts) - 1))
+        for part in (perm[:cut], perm[cut:]):
+            sub = [texts[i] for i in part]
+            langs_s, margins_s = lid_core.score_batch(sub)
+            ppl_s = ppl_core.perplexity_batch(
+                sub, [langs_all[i] for i in part])
+            for j, i in enumerate(part):
+                assert langs_s[j] == langs_all[i]
+                assert margins_s[j] == margins_all[i]
+                assert ppl_s[j] == ppl_all[i]
