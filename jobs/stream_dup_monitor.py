@@ -14,13 +14,24 @@ state stores (engine/streaming/stateful.py):
   * textual near-dups  — at most SIMHASH_BUCKET_CAP signatures per
     simhash band bucket.
 
-Each sink batch folds the near-dup band rows to one row per clip
-(clip-level flag = OR over its bands — done HERE, batch-side, because an
-append-mode stream cannot re-aggregate its own stateful output) and
-writes `flags/batch_id={id}` idempotently, same retry contract as
-stream_pipeline.  The periodic batch reconcile job (reconcile_dups.py)
-remains the canonical authority; this monitor is the low-latency
-approximation of the documented lambda split.
+Outputs, one dir per store, written idempotently per micro-batch (same
+retry contract as stream_pipeline):
+
+  * `<output>/exact/batch_id={id}`   — (clip_id, f_stream_dup), already
+    one row per clip;
+  * `<output>/neardup/batch_id={id}` — (clip_id, f_stream_neardup); the
+    sink folds the per-band state rows to one row per clip (clip-level
+    flag = OR over its bands — done HERE, batch-side, because an
+    append-mode stream cannot re-aggregate its own stateful output).
+
+The two stores run as two concurrent queries over the same input (each
+stateful operator keeps its own checkpoint subdir) — simpler and no
+slower than one pass with a stream-stream union, since the state shuffle
+dominates.  The periodic batch reconcile job (reconcile_dups.py) remains
+the canonical authority; this monitor is the low-latency approximation
+of the documented lambda split, and when arrival order equals clip_id
+order its flags EQUAL the batch answer (pinned by
+tests/test_streaming.py::test_stream_dup_monitor_matches_batch_reconcile).
 """
 
 from __future__ import annotations
@@ -56,14 +67,13 @@ def main() -> int:
     from engine.operators import scoring
     from engine.streaming import stateful
 
-    stream = (spark.readStream
-              .schema(scoring.SCORED_SCHEMA)
-              .option("maxFilesPerTrigger", args.max_files_per_trigger)
-              .parquet(args.input))
+    def _stream():
+        return (spark.readStream
+                .schema(scoring.SCORED_SCHEMA)
+                .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                .parquet(args.input))
 
-    near = stateful.stream_neardup_flags(stream)
-
-    def _sink(batch_df, batch_id: int) -> None:
+    def _near_sink(batch_df, batch_id: int) -> None:
         folded = (batch_df.groupBy("clip_id")
                   .agg(F.max("f_stream_neardup").alias("f_stream_neardup")))
         # no coalesce(1): a production trigger can carry millions of rows,
@@ -71,15 +81,24 @@ def main() -> int:
         (folded.write.mode("overwrite")
          .parquet(f"{args.output}/neardup/batch_id={batch_id}"))
 
+    def _exact_sink(batch_df, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{args.output}/exact/batch_id={batch_id}"))
+
     ckpt = args.checkpoint or f"{args.output}/_checkpoint"
-    writer = (near.writeStream
-              .foreachBatch(_sink)
-              .outputMode("append")
-              .option("checkpointLocation", ckpt))
-    if args.available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    q.awaitTermination()
+    queries = []
+    for name, flags, sink in (
+            ("exact", stateful.stream_dup_flags(_stream()), _exact_sink),
+            ("neardup", stateful.stream_neardup_flags(_stream()), _near_sink)):
+        writer = (flags.writeStream
+                  .foreachBatch(sink)
+                  .outputMode("append")
+                  .option("checkpointLocation", f"{ckpt}/{name}"))
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        queries.append(writer.start())
+    for q in queries:
+        q.awaitTermination()
     return 0
 
 

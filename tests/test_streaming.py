@@ -555,3 +555,82 @@ def test_kafka_source_fails_fast_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         stream_pipeline.read_clip_stream_kafka(spark, "localhost:9092", "clips")
+
+
+def test_stream_dup_monitor_matches_batch_reconcile(spark, clips_t1, tmp_path,
+                                                    monkeypatch):
+    """Consumer contract at the JOB level (round-3 verdict item 7): when
+    arrival order equals clip_id order, the monitor's folded per-clip
+    flags must EQUAL the batch dedup answer — f_stream_dup (audio-checksum
+    state) OR the near-dup band fold == dedup.with_dup_flags' f_NEAR_DUP,
+    and every batch f_EXACT_DUP clip carries the stream audio flag.  The
+    first-arrival vs min-clip_id split (stateful.py docstring) is exactly
+    zero under this arrival order, so strict equality is the assertion."""
+    import glob
+    import shutil
+    import sys
+
+    import jobs.stream_dup_monitor as mon
+    from engine import config
+    from engine.operators import dedup, pipeline, scoring
+
+    path, _, _ = clips_t1
+    scored = scoring.score_clips(pipeline.read_clips(spark, path))
+    staging = str(tmp_path / "staging")
+    scored.coalesce(1).write.mode("overwrite").parquet(staging)
+    full = spark.read.parquet(staging)
+
+    # three micro-batch files, each a contiguous clip_id range, mtimes
+    # increasing with the range -> maxFilesPerTrigger=1 streams them in
+    # clip_id order (first-arrival == min clip_id)
+    ids = sorted(r["clip_id"] for r in full.select("clip_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = tmp_path / "scored_stream"
+    src.mkdir()
+    from pyspark.sql import functions as F
+    conds = [F.col("clip_id") < cuts[0],
+             (F.col("clip_id") >= cuts[0]) & (F.col("clip_id") < cuts[1]),
+             F.col("clip_id") >= cuts[1]]
+    import os
+    for i, cond in enumerate(conds):
+        d = str(tmp_path / f"chunk{i}")
+        full.where(cond).coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = str(src / f"{i:02d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "flags_out")
+    monkeypatch.setattr(sys, "argv", [
+        "stream_dup_monitor.py", "--input", str(src), "--output", out,
+        "--available-now", "--max-files-per-trigger", "1"])
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+                         "true")
+    try:
+        assert mon.main() == 0
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
+
+    exact = (spark.read.parquet(f"{out}/exact").toPandas()
+             .set_index("clip_id")["f_stream_dup"])
+    near = (spark.read.parquet(f"{out}/neardup").toPandas()
+            .set_index("clip_id")["f_stream_neardup"])
+    assert exact.index.is_unique and near.index.is_unique
+
+    batch = (dedup.with_dup_flags(full)
+             .select("clip_id", f"f_{config.RULE_EXACT_DUP}",
+                     f"f_{config.RULE_NEAR_DUP}")
+             .toPandas().set_index("clip_id"))
+    # null-checksum clips are filtered before the exact-dup state (they can
+    # never be audio dups); they rejoin here as False, like the batch side
+    exact_all = exact.reindex(batch.index, fill_value=False)
+    stream_near = exact_all | near.reindex(batch.index, fill_value=False)
+    bn = batch[f"f_{config.RULE_NEAR_DUP}"]
+    diff = stream_near != bn
+    assert not diff.any(), \
+        f"stream vs batch NEAR_DUP mismatch: {list(batch.index[diff])[:10]}"
+    # batch exact dups (checksum+transcript) are a subset of audio dups
+    be = batch[f"f_{config.RULE_EXACT_DUP}"]
+    assert exact_all[be.index[be]].all()
+    # the fixture actually plants dups: the assertion above is not vacuous
+    assert bn.any()
