@@ -157,3 +157,43 @@ def test_iceberg_migration_layout_contract(spark, clips_t1):
             # add_files derives it from the dir name; a duplicate column
             # in-file would collide on import
             assert "part_id" not in cols
+
+
+def test_materialize_content_addressing(tmp_path, monkeypatch):
+    """The side-channel oracle dirs (labels/mel/flags) must be (a) keyed by
+    rule_version — so a code/threshold change moves the path and a stale
+    file can never be read — (b) skip-if-fresh, (c) atomic: an INCOMPLETE
+    leftover dir (no _SUCCESS) is replaced, never served."""
+    import os
+
+    from engine import config
+
+    # (a) path moves when the version moves
+    p1 = entrymod._side_path("labels")
+    monkeypatch.setattr(config, "rule_version", lambda: "deadbeefdeadbeef")
+    p2 = entrymod._side_path("labels")
+    monkeypatch.undo()
+    assert p1 != p2 and "deadbeefdeadbeef" in p2
+
+    # (b) a complete dir is reused without calling the writer
+    target = str(tmp_path / "mat")
+    calls = []
+
+    def write_ok(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").write("")
+        open(os.path.join(tmp, "data.parquet"), "w").write("x")
+
+    assert entrymod._materialize(target, write_ok) == target
+    assert len(calls) == 1 and os.path.exists(f"{target}/_SUCCESS")
+    assert entrymod._materialize(target, write_ok) == target
+    assert len(calls) == 1  # skip-if-fresh: writer not called again
+
+    # (c) an incomplete leftover (crashed writer: no _SUCCESS) is replaced
+    target2 = str(tmp_path / "mat2")
+    os.makedirs(target2)
+    open(os.path.join(target2, "partial.parquet"), "w").write("torn")
+    assert entrymod._materialize(target2, write_ok) == target2
+    assert os.path.exists(f"{target2}/_SUCCESS")
+    assert not os.path.exists(f"{target2}/partial.parquet")
