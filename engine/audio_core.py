@@ -238,7 +238,13 @@ def features(payload: bytes | None, sr_hz: int | None):
 
 def _features_pcm(pcm: np.ndarray, x: np.ndarray, sr_hz: int | None):
     n = int(pcm.size)
-    rms = float(np.sqrt(np.dot(x, x) / n) / INT16_FULL_SCALE)
+    # einsum, not np.dot: the per-clip reductions here are too small for
+    # BLAS threading to pay off, and interleaved with the fft/hash work
+    # each BLAS call pays the thread-pool wake cost (~0.15 ms measured on
+    # a 48k-sample dot with an unpinned OpenBLAS — 13x the arithmetic).
+    # Keeping the whole per-clip path BLAS-free also makes it immune to
+    # K-workers x N-BLAS-threads oversubscription on executors.
+    rms = float(np.sqrt(np.einsum("i,i->", x, x) / n) / INT16_FULL_SCALE)
     clip_ratio = float(np.count_nonzero(
         (pcm >= CLIP_THRESHOLD) | (pcm <= -CLIP_THRESHOLD)) / n)
     # hash the DECODED sample buffer (for raw pcm this is a zero-copy view
@@ -350,7 +356,12 @@ def _frame_features_pcm(pcm: np.ndarray, x: np.ndarray, sr_hz: int | None):
     flat = float(np.mean(
         np.exp(np.mean(np.log(spec + 1e-9), axis=1))
         / (np.mean(spec, axis=1) + 1e-9)))
-    mel_profile = np.log10(spec @ fb.T + 1e-6).mean(axis=0).astype(np.float32)
+    # einsum, not `spec @ fb.T`: same BLAS-free-hot-path rationale as
+    # _features_pcm — a 64x257x24 matmul is ~0.4 Mflop, so an unpinned
+    # BLAS pool's wake cost dominates it ~20x when calls interleave with
+    # the fft work
+    mel_profile = np.log10(np.einsum("ij,kj->ik", spec, fb)
+                           + 1e-6).mean(axis=0).astype(np.float32)
     return silence_ratio, flat, [float(v) for v in mel_profile]
 
 

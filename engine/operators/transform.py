@@ -61,7 +61,9 @@ def _resample_batch(pdf: pd.DataFrame, target_sr: int) -> pd.DataFrame:
         srs[i] = sr_i
         n_out[i] = int(out.size)
         x = out.astype(np.float32)
-        rms[i] = (float(np.sqrt(np.dot(x, x) / out.size)
+        # einsum keeps this per-clip reduction BLAS-free (see
+        # audio_core._features_pcm for the thread-wake-cost rationale)
+        rms[i] = (float(np.sqrt(np.einsum("i,i->", x, x) / out.size)
                         / audio_core.INT16_FULL_SCALE) if out.size else 0.0)
         ck[i] = hashlib.blake2b(out, digest_size=16).hexdigest()
     return pd.DataFrame({

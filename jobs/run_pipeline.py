@@ -16,8 +16,19 @@ Output layout:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# One BLAS/OpenMP thread per Python UDF worker (same pin as bench.py):
+# with K concurrent workers an unpinned numpy thread pool oversubscribes
+# the box K*ncpus-fold, and even a single worker pays the pool's wake
+# cost on every small per-clip reduction.  Must be set before the JVM
+# starts so forked python workers inherit it; on a real cluster the
+# equivalent is spark.executorEnv.*.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+             "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
 
 
 def main() -> int:
