@@ -286,16 +286,75 @@ def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform.resample_clips(clips)
 
 
+def _spkassign_parquet_path() -> str:
+    """Materialized (clip_id, speaker_id) hash assignment — the only piece
+    of clips_eval_by_region DuckDB cannot recompute itself (speaker_id is
+    pmod(xxhash64(clip_id), 50), a Spark-side hash).  Same content-
+    addressing contract as the labels path."""
+    return _side_path("spkassign")
+
+
+def _spkdim_parquet_path() -> str:
+    return _side_path("spkdim")
+
+
 def _q_clips_eval_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step6 demographics-join graft: broadcast the speaker/source dim
     into the labels table, report keep/scrub/repair rates per
-    (region, device) (rows-only; pandas-oracle + broadcast plan gate in
-    tests/test_evaluation.py)."""
+    (region, device).  Oracle-gated as of round 4: the Spark-side hash
+    assignment is materialized (the one shared piece), and DuckDB
+    independently recomputes the LEFT join, the '<unknown>' bucket, the
+    aggregation and the rate math.  The dim is truncated to 45 of the 50
+    speaker ids so the '<unknown>' path is live in the checked result, not
+    just in tests (a dim smaller than the assignment space must surface as
+    an <unknown> row, never silently under-count)."""
+    from pyspark.sql import functions as F
+
     from engine import fixtures
     from engine.operators import evaluation
 
-    dim = spark.createDataFrame(fixtures.generate_speakers(50, seed=42))
+    def _write_assign(tmp: str) -> None:
+        (_labels_df(spark)
+         .select("clip_id",
+                 F.pmod(F.xxhash64("clip_id"), F.lit(50)).cast("int")
+                 .alias("speaker_id"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+
+    def _write_dim(tmp: str) -> None:
+        (spark.createDataFrame(fixtures.generate_speakers(50, seed=42))
+         .where(F.col("speaker_id") < 45)
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+
+    _materialize(_spkassign_parquet_path(), _write_assign)
+    dim_path = _materialize(_spkdim_parquet_path(), _write_dim)
+    dim = spark.read.parquet(dim_path)
     return evaluation.corpus_report_by_dim(_labels_df(spark), dim, 50)
+
+
+def _sql_clips_eval_by_region() -> str:
+    return f"""
+WITH l AS (SELECT clip_id, keep, n_scrub_hits, repaired
+           FROM read_parquet('{_labels_parquet_path()}/*.parquet')),
+a AS (SELECT clip_id, speaker_id
+      FROM read_parquet('{_spkassign_parquet_path()}/*.parquet')),
+d AS (SELECT speaker_id, region, device
+      FROM read_parquet('{_spkdim_parquet_path()}/*.parquet')),
+e AS (SELECT COALESCE(d.region, '<unknown>') AS region,
+             COALESCE(d.device, '<unknown>') AS device,
+             l.keep, l.n_scrub_hits, l.repaired
+      FROM l JOIN a USING (clip_id)
+      LEFT JOIN d ON a.speaker_id = d.speaker_id)
+SELECT region, device,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE),
+             6) AS keep_rate,
+       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       ROUND(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS scrub_rate,
+       SUM(CASE WHEN repaired THEN 1 ELSE 0 END) AS n_repaired
+FROM e GROUP BY region, device ORDER BY region, device
+"""
 
 
 def _q_clips_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
     out["clips_lineage"] = _sql_clips_lineage()
     out["clips_eval_report"] = _sql_clips_eval_report()
     out["clips_audio_topk"] = _sql_clips_audio_topk()
+    out["clips_eval_by_region"] = _sql_clips_eval_by_region()
     return out

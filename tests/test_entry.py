@@ -37,12 +37,11 @@ def test_every_query_has_callable_signature():
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
     # rows-only entries are exactly the genuinely non-SQL clips ones
-    # (Python decode / streaming / python-side dim); everything else —
-    # including decision, lineage, eval report and audio top-k — carries a
-    # DuckDB oracle as of round 3
+    # (Python decode / resample / streaming); everything else — including
+    # decision, lineage, eval report, eval by region and audio top-k —
+    # carries a DuckDB oracle as of round 4
     assert set(qs) - set(sqls) == {"clips_pipeline", "clips_decode",
-                                   "clips_stream_ingest",
-                                   "clips_eval_by_region", "clips_resample"}
+                                   "clips_stream_ingest", "clips_resample"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
