@@ -166,3 +166,37 @@ def test_lsh_plane_count_scales_with_corpus(spark):
            .select(F.expr(sq._N_PLANES_EXPR).alias("np"))
            .toPandas()["np"].tolist())
     assert got == [4, 4, 8, 16, 16]  # 65536/256=256 -> 8 planes; clamps hold
+
+
+def test_engine_import_pins_blas_pools():
+    """Architecture invariant: `import engine` pins the BLAS/OpenMP pools
+    to one thread per process (setdefault), so an executor Python worker
+    that first touches numpy through the engine never spawns an
+    ncpus-wide pool under K concurrent workers.  A fresh interpreter is
+    required — this test process imported engine long ago."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import os\n"
+         "for v in ('OMP_NUM_THREADS', 'OPENBLAS_NUM_THREADS',\n"
+         "          'MKL_NUM_THREADS', 'NUMEXPR_NUM_THREADS'):\n"
+         "    os.environ.pop(v, None)\n"
+         "import engine\n"
+         "print(','.join(os.environ[v] for v in\n"
+         "      ('OMP_NUM_THREADS', 'OPENBLAS_NUM_THREADS',\n"
+         "       'MKL_NUM_THREADS', 'NUMEXPR_NUM_THREADS')))\n"],
+        capture_output=True, text=True, check=True, cwd=repo)
+    assert out.stdout.strip() == "1,1,1,1"
+
+    # setdefault, not overwrite: an explicit operator choice survives
+    out2 = subprocess.run(
+        [sys.executable, "-c",
+         "import os; os.environ['OMP_NUM_THREADS'] = '4'\n"
+         "import engine\n"
+         "print(os.environ['OMP_NUM_THREADS'])"],
+        capture_output=True, text=True, check=True, cwd=repo)
+    assert out2.stdout.strip() == "4"
