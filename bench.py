@@ -228,8 +228,20 @@ def run_scaling(levels: list[int], n_clips: int, rounds: int = 2) -> dict:
     return report
 
 
+MANUAL_MARKER = "<!-- manual notes below: preserved across bench.py --scaling rewrites -->"
+
+
 def _write_baseline_md(report: dict, n_clips: int) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # Everything from MANUAL_MARKER down is hand-written narrative
+    # (secondary windows, round history); a --scaling rewrite regenerates
+    # only the auto section above it.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual_tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if MANUAL_MARKER in prev:
+            manual_tail = prev[prev.index(MANUAL_MARKER):]
     lv = report["levels"]
     keys = sorted(int(k) for k in lv)
     lines = [
@@ -274,7 +286,9 @@ def _write_baseline_md(report: dict, n_clips: int) -> None:
         "scaling efficiency above plus the oracle F1 gate in tests/.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    if manual_tail:
+        lines.append(manual_tail)
+    with open(path, "w") as f:
         f.write("\n".join(lines))
 
 
