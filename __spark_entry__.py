@@ -11,6 +11,8 @@ pure-pandas oracle in tests/test_pipeline_oracle.py, run by
 
 from __future__ import annotations
 
+import fcntl
+import glob
 import os
 import shutil
 import tempfile
@@ -77,19 +79,47 @@ def _materialize(path: str, write_fn) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
+    # sweep orphans from crashed prior runs (tmp/stale dirs are suffixed
+    # with the writer's pid; only dead pids are swept, so a concurrent
+    # live writer's tmp is never touched)
+    for d in glob.glob(f"{path}.tmp.*") + glob.glob(f"{path}.stale.*"):
+        pid = d.rsplit(".", 1)[-1]
+        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            shutil.rmtree(d, ignore_errors=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    write_fn(tmp)
     try:
-        os.rename(tmp, path)
-    except OSError:
-        if not os.path.exists(marker):
-            # leftover INCOMPLETE dir (crashed writer): replace it
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                pass
+        write_fn(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # rename lost: either a complete dir was just published, or an
+            # INCOMPLETE leftover (crashed writer) occupies `path`.  Take
+            # an exclusive lock for the recovery so two recoverers cannot
+            # interleave, re-check the marker under the lock, and move the
+            # leftover ASIDE atomically before deleting — never rmtree at
+            # `path` itself, where a concurrent process may have just
+            # published a complete copy.
+            with open(f"{path}.lock", "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    if not os.path.exists(marker):
+                        stale = f"{path}.stale.{os.getpid()}"
+                        try:
+                            os.rename(path, stale)
+                        except OSError:
+                            pass
+                        else:
+                            shutil.rmtree(stale, ignore_errors=True)
+                        try:
+                            os.rename(tmp, path)
+                        except OSError:
+                            pass
+                finally:
+                    fcntl.flock(lock, fcntl.LOCK_UN)
+    finally:
+        # write_fn raised, or we lost the publish race: never leak the
+        # process-private (multi-GB) tmp dir
         shutil.rmtree(tmp, ignore_errors=True)
     if not os.path.exists(marker):  # pragma: no cover - unwinnable race
         raise RuntimeError(f"materialization failed for {path}")

@@ -205,6 +205,11 @@ _LABEL_CODE_MODULES = (
     ("engine.operators", "heuristics.py"),
     ("engine.operators", "decision.py"),
     ("engine.operators", "dedup.py"),
+    # composition + input normalization determine labels just as much as
+    # the per-stage rules: a reordered stage in run_pipeline or a changed
+    # cast in schema.py moves labels with every module above unchanged
+    ("engine.operators", "pipeline.py"),
+    ("engine", "schema.py"),
 )
 
 _CODE_VERSION_CACHE: list[str] = []

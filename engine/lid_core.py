@@ -84,17 +84,26 @@ _LANGS, _KEYS, _MAT, _OOV = _train()
 _N_VOCAB = len(_KEYS)
 
 
+_TRI_CHUNK = 1 << 20  # max trigrams whose scoring temporaries are live at once
+
+
 def score_batch(texts) -> tuple[list[str], np.ndarray]:
     """Vectorized batch scoring: (texts) -> (langs, margins).
 
     margin = (best - second best) mean per-trigram log-likelihood; ~0 for
     mixed-language token salad, large for clean single-language text.
-    Empty/degenerate text -> ("und", 0.0)."""
+    Empty/degenerate text -> ("und", 0.0).
+
+    Peak memory is bounded: the (trigrams x n_langs) float64 scoring
+    temporaries are materialized per chunk of <= _TRI_CHUNK trigrams
+    (~64 MB each at 8 langs), chunks split at text boundaries — an Arrow
+    batch of pathologically long transcripts costs O(_TRI_CHUNK), not
+    O(batch chars), per UDF worker.  Chunking is bit-identical to one
+    pass because every per-text reduction is segment-local."""
     n = len(texts)
     langs: list[str] = ["und"] * n
     margins = np.zeros(n, dtype=np.float64)
 
-    # one concatenated UTF-32 codepoint buffer for all non-empty texts
     padded: list[bytes] = []
     rows: list[int] = []
     glens: list[int] = []
@@ -109,6 +118,22 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
     if not rows:
         return langs, margins
 
+    start = 0
+    while start < len(rows):
+        end, acc = start, 0
+        while end < len(rows) and (end == start
+                                   or acc + glens[end] <= _TRI_CHUNK):
+            acc += glens[end]
+            end += 1
+        _score_chunk(padded[start:end], glens[start:end], rows[start:end],
+                     langs, margins)
+        start = end
+    return langs, margins
+
+
+def _score_chunk(padded: list, glens: list, rows: list,
+                 langs: list, margins: np.ndarray) -> None:
+    """Score one concatenated chunk of non-empty texts in place."""
     cp = np.frombuffer(b"".join(padded), dtype="<u4").astype(np.uint64)
     glens_a = np.array(glens, dtype=np.int64)
     # start offset of each text's codepoints in `cp`
@@ -138,7 +163,6 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
     for j, i in enumerate(rows):
         langs[i] = _LANGS[best[j]]
         margins[i] = m[j]
-    return langs, margins
 
 
 def score_text(text: str) -> tuple[str, float]:

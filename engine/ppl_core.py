@@ -33,6 +33,7 @@ _BOS = "<s>"
 _UNK = "<unk>"
 _K = 0.1
 _HUGE = 1e9
+_TOK_CHUNK = 1 << 20  # max tokens whose scoring arrays are live at once
 
 
 class _LangModel:
@@ -131,8 +132,23 @@ def perplexity_batch(texts, langs) -> list[float]:
         rows, toks = groups.setdefault(lang, ([], []))
         rows.append(i)
         toks.append(words)
+    # bound peak memory like lid_core: the O(total tokens) scoring arrays
+    # are materialized per chunk of <= _TOK_CHUNK tokens, chunks split at
+    # text boundaries (bit-identical — every per-text reduction is
+    # segment-local), so a batch of pathologically long transcripts costs
+    # O(_TOK_CHUNK) per UDF worker, not O(batch tokens)
     for lang, (rows, toks) in groups.items():
-        out[np.array(rows, dtype=np.int64)] = _score_group(_MODELS[lang], toks)
+        m = _MODELS[lang]
+        start = 0
+        while start < len(rows):
+            end, acc = start, 0
+            while end < len(rows) and (end == start
+                                       or acc + len(toks[end]) <= _TOK_CHUNK):
+                acc += len(toks[end])
+                end += 1
+            out[np.array(rows[start:end], dtype=np.int64)] = \
+                _score_group(m, toks[start:end])
+            start = end
     return out.tolist()
 
 

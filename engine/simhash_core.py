@@ -50,27 +50,54 @@ def simhash64(text: str | None) -> int:
     return int(simhash64_batch([text])[0])
 
 
+_SHINGLE_CHUNK = 1 << 19  # max shingles whose vote arrays are live at once
+
+
 def simhash64_batch(texts) -> np.ndarray:
     """Vectorized batch SimHash -> uint64 array (0 for empty texts).
 
     Per-batch shape (north_star: "batched n-gram hashing"): shingle
-    strings are deduplicated across the whole batch and blake2b-hashed
-    once per DISTINCT shingle (boilerplate n-grams repeat heavily in a
-    web corpus); the bit votes then run as one unpackbits + one
+    strings are deduplicated within a chunk and blake2b-hashed once per
+    DISTINCT shingle (boilerplate n-grams repeat heavily in a web
+    corpus); the bit votes then run as one unpackbits + one
     np.add.reduceat over the concatenated digest buffer + one packbits —
     no per-row Python bit loop.  The digest per shingle is unchanged, so
-    values are identical to hashing row-at-a-time."""
+    values are identical to hashing row-at-a-time.
+
+    Peak memory is bounded like lid_core/ppl_core: shingle lists, digest
+    cache, and the (n_shingles x 64) bit matrix are materialized per
+    chunk of <= _SHINGLE_CHUNK shingles, chunks split at text boundaries
+    (bit-identical — the vote is segment-local).  Normal Arrow batches
+    fit one chunk, so the cross-text dedup cache is unaffected there."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    idxs: list[int] = []
     counts: list[int] = []
     all_shingles: list[str] = []
-    for t in texts:
+
+    def _flush() -> None:
+        if not idxs:
+            return
+        _vote_chunk(idxs, counts, all_shingles, out)
+        idxs.clear()
+        counts.clear()
+        all_shingles.clear()
+
+    for i, t in enumerate(texts):
         sh = _shingles(t)
+        if not sh:
+            continue
+        if all_shingles and len(all_shingles) + len(sh) > _SHINGLE_CHUNK:
+            _flush()
+        idxs.append(i)
         counts.append(len(sh))
         all_shingles.extend(sh)
+    _flush()
+    return out
 
-    out = np.zeros(len(texts), dtype=np.uint64)
-    if not all_shingles:
-        return out
 
+def _vote_chunk(idxs: list, counts: list, all_shingles: list,
+                out: np.ndarray) -> None:
+    """Majority bit-vote for one chunk of non-empty texts, in place."""
     cache: dict[str, bytes] = {}
     buf = bytearray()
     for s in all_shingles:
@@ -81,21 +108,20 @@ def simhash64_batch(texts) -> np.ndarray:
         buf += d
 
     counts_a = np.array(counts, dtype=np.int64)
-    nonempty = counts_a > 0
-    seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(counts_a[nonempty][:-1], out=seg[1:])
+    seg = np.zeros(len(idxs), dtype=np.int64)
+    np.cumsum(counts_a[:-1], out=seg[1:])
 
     raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 8)
     bits = np.unpackbits(raw, axis=1, bitorder="little")  # (n_shingles, 64)
-    # int32, not int16: a pathological multi-100k-token transcript (all
-    # rows get all scores, even TXT_LEN failures) would overflow 16 bits
-    votes = np.add.reduceat(bits.astype(np.int32), seg, axis=0)
+    # int32 accumulator (via reduceat dtype, no materialized int32 copy):
+    # a pathological multi-100k-token transcript (all rows get all
+    # scores, even TXT_LEN failures) would overflow 16 bits
+    votes = np.add.reduceat(bits, seg, axis=0, dtype=np.int32)
     # majority: bit set iff (#ones) * 2 > #shingles  <=>  acc > 0 in the
     # +1/-1 vote formulation
-    pos = (2 * votes > counts_a[nonempty][:, None])
-    out[nonempty] = np.packbits(pos, axis=1, bitorder="little") \
-        .view("<u8").ravel()
-    return out
+    pos = (2 * votes > counts_a[:, None])
+    out[np.array(idxs, dtype=np.int64)] = \
+        np.packbits(pos, axis=1, bitorder="little").view("<u8").ravel()
 
 
 def simhash_for_dedup(text: str | None) -> int:

@@ -37,6 +37,7 @@ tests/test_streaming.py::test_stream_dup_monitor_matches_batch_reconcile).
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -86,6 +87,16 @@ def main() -> int:
          .parquet(f"{args.output}/exact/batch_id={batch_id}"))
 
     ckpt = args.checkpoint or f"{args.output}/_checkpoint"
+    # Fail fast on a pre-two-store checkpoint: the single-query layout kept
+    # its offset log at <ckpt>/offsets directly.  Reusing it as the new
+    # per-store parent would silently reprocess the input from offset zero
+    # with restarted batch ids, mixing fresh and stale batch_id dirs in the
+    # output.  The operator must pick a fresh dir (and a fresh output).
+    if os.path.isdir(os.path.join(ckpt, "offsets")):
+        raise SystemExit(
+            f"checkpoint {ckpt!r} holds a pre-two-store (single-query) "
+            "offset log; pass --checkpoint pointing at a fresh directory "
+            "and a fresh --output, then re-run")
     queries = []
     for name, flags, sink in (
             ("exact", stateful.stream_dup_flags(_stream()), _exact_sink),

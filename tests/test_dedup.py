@@ -242,3 +242,21 @@ def test_simhash_batch_matches_scalar_exactly():
         u = simhash_core.simhash_for_dedup(t)
         assert signed[i] == simhash_core.to_signed64(u)
         assert band_vals[i].tolist() == simhash_core.bands(u)
+
+
+def test_simhash_memory_chunking_is_bit_identical(monkeypatch):
+    """simhash64_batch bounds peak memory via _SHINGLE_CHUNK-sized chunks
+    split at text boundaries; a forced tiny chunk size must reproduce the
+    default output exactly (the vote is segment-local)."""
+    import numpy as np
+
+    from engine import simhash_core, templates
+
+    texts = ["", None, "a b c", " ".join(["tok"] * 200)]
+    for lang in templates.LANGS:
+        texts.append(" ".join(templates.SENTENCES[lang][:8]))
+    ref_signed, ref_bands = simhash_core.dedup_batch(texts)
+    monkeypatch.setattr(simhash_core, "_SHINGLE_CHUNK", 3)
+    c_signed, c_bands = simhash_core.dedup_batch(texts)
+    assert np.array_equal(ref_signed, c_signed)
+    assert np.array_equal(ref_bands, c_bands)

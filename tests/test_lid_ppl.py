@@ -84,3 +84,25 @@ def test_batch_scoring_is_composition_independent():
                 assert langs_s[j] == langs_all[i]
                 assert margins_s[j] == margins_all[i]
                 assert ppl_s[j] == ppl_all[i]
+
+
+def test_memory_chunking_is_bit_identical(monkeypatch):
+    """The batch scorers bound peak memory by splitting oversized batches
+    into chunks at text boundaries (lid_core._TRI_CHUNK /
+    ppl_core._TOK_CHUNK).  Forcing pathologically small chunks must not
+    change a single output bit — chunking is a memory knob, never a
+    semantics knob (the pandas oracle runs unchunked rows)."""
+    texts = []
+    for lang in templates.LANGS:
+        texts.append(" ".join(templates.SENTENCES[lang][:4]))
+    texts += ["", "a", " ".join(["tok"] * 500), "zz qq xx " * 40]
+    langs_ref, margins_ref = lid_core.score_batch(texts)
+    ppl_ref = ppl_core.perplexity_batch(texts, langs_ref)
+
+    monkeypatch.setattr(lid_core, "_TRI_CHUNK", 7)
+    monkeypatch.setattr(ppl_core, "_TOK_CHUNK", 5)
+    langs_c, margins_c = lid_core.score_batch(texts)
+    ppl_c = ppl_core.perplexity_batch(texts, langs_c)
+    assert langs_c == langs_ref
+    assert np.array_equal(margins_c, margins_ref)
+    assert ppl_c == ppl_ref

@@ -634,3 +634,26 @@ def test_stream_dup_monitor_matches_batch_reconcile(spark, clips_t1, tmp_path,
     assert exact_all[be.index[be]].all()
     # the fixture actually plants dups: the assertion above is not vacuous
     assert bn.any()
+
+
+def test_stream_dup_monitor_rejects_old_checkpoint_layout(tmp_path,
+                                                          monkeypatch):
+    """The monitor moved from one query (offset log at <ckpt>/offsets) to
+    two per-store checkpoints (<ckpt>/exact, <ckpt>/neardup).  Reusing an
+    old-layout checkpoint would silently reprocess from offset zero and
+    interleave fresh batch_id dirs with stale ones, so main() must refuse
+    it before starting any query."""
+    import sys
+
+    import pytest
+
+    import jobs.stream_dup_monitor as mon
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    monkeypatch.setattr(sys, "argv", [
+        "stream_dup_monitor.py", "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "out"), "--checkpoint", str(ckpt),
+        "--available-now"])
+    with pytest.raises(SystemExit, match="pre-two-store"):
+        mon.main()
