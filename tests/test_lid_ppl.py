@@ -106,3 +106,53 @@ def test_memory_chunking_is_bit_identical(monkeypatch):
     assert langs_c == langs_ref
     assert np.array_equal(margins_c, margins_ref)
     assert ppl_c == ppl_ref
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_texts_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=200),
+        st.text(alphabet="abcdefgh .,!?", max_size=400),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=_texts_strategy, tri_chunk=st.integers(1, 64),
+       tok_chunk=st.integers(1, 64), sh_chunk=st.integers(1, 64))
+def test_chunk_size_invariance_property(texts, tri_chunk, tok_chunk,
+                                        sh_chunk):
+    """Chunk sizes are memory knobs, never semantics knobs: for ANY
+    input batch and ANY chunk sizes, the batch scorers must reproduce
+    the default (one-chunk) outputs bit-for-bit.  Guards the chunked
+    rewrites of lid_core/ppl_core/simhash_core against boundary bugs
+    the fixed-example tests might miss (monkeypatching by hand because
+    hypothesis drives many examples per test call)."""
+    from engine import simhash_core
+
+    langs_ref, margins_ref = lid_core.score_batch(texts)
+    ppl_ref = ppl_core.perplexity_batch(texts, langs_ref)
+    sh_ref_signed, sh_ref_bands = simhash_core.dedup_batch(texts)
+
+    saved = (lid_core._TRI_CHUNK, ppl_core._TOK_CHUNK,
+             simhash_core._SHINGLE_CHUNK)
+    try:
+        lid_core._TRI_CHUNK = tri_chunk
+        ppl_core._TOK_CHUNK = tok_chunk
+        simhash_core._SHINGLE_CHUNK = sh_chunk
+        langs_c, margins_c = lid_core.score_batch(texts)
+        ppl_c = ppl_core.perplexity_batch(texts, langs_c)
+        sh_c_signed, sh_c_bands = simhash_core.dedup_batch(texts)
+    finally:
+        (lid_core._TRI_CHUNK, ppl_core._TOK_CHUNK,
+         simhash_core._SHINGLE_CHUNK) = saved
+
+    assert langs_c == langs_ref
+    assert np.array_equal(margins_c, margins_ref)
+    assert ppl_c == ppl_ref
+    assert np.array_equal(sh_c_signed, sh_ref_signed)
+    assert np.array_equal(sh_c_bands, sh_ref_bands)
