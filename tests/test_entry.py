@@ -196,3 +196,111 @@ def test_materialize_content_addressing(tmp_path, monkeypatch):
     assert entrymod._materialize(target2, write_ok) == target2
     assert os.path.exists(f"{target2}/_SUCCESS")
     assert not os.path.exists(f"{target2}/partial.parquet")
+
+
+def test_materialize_cleans_up_on_writer_failure(tmp_path):
+    """A raising write_fn must not leak the process-private tmp dir (a
+    failed Spark write can leave multi-GB partials), and a later call
+    must retry the write."""
+    import glob
+    import os
+
+    target = str(tmp_path / "mat_fail")
+
+    def write_boom(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "partial.parquet"), "w").write("x")
+        raise RuntimeError("executor lost")
+
+    try:
+        entrymod._materialize(target, write_boom)
+    except RuntimeError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("write_fn error must propagate")
+    assert not glob.glob(f"{target}.tmp.*")  # no leaked partials
+    assert not os.path.exists(target)
+
+    def write_ok(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").write("")
+
+    assert entrymod._materialize(target, write_ok) == target
+    assert os.path.exists(f"{target}/_SUCCESS")
+
+
+def test_materialize_sweeps_dead_pid_orphans_only(tmp_path):
+    """Orphan tmp/stale dirs from crashed runs are swept when their pid is
+    dead; a live writer's tmp dir is never touched."""
+    import os
+
+    target = str(tmp_path / "mat_orphan")
+    dead = f"{target}.tmp.999999999"  # pid_max is < 2^22 on Linux
+    live = f"{target}.tmp.{os.getpid()}"
+    os.makedirs(dead)
+    os.makedirs(live)
+    os.makedirs(f"{target}.stale.999999998")
+
+    def write_ok(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "_SUCCESS"), "w").write("")
+
+    assert entrymod._materialize(target, write_ok) == target
+    assert not os.path.exists(dead)
+    assert not os.path.exists(f"{target}.stale.999999998")
+    # the live-pid dir belongs to this very process in the real flow, and
+    # _materialize reuses+publishes it as its own tmp — all that matters
+    # is it is not treated as a dead orphan before the write
+    assert os.path.exists(f"{target}/_SUCCESS")
+
+
+def test_materialize_concurrent_publishers_one_winner(tmp_path):
+    """N processes racing to materialize the same path (the bench.py-vs-
+    pytest scenario from round-3 ADVICE): every process must end up with
+    a COMPLETE dir at `path`, no process may ever observe a torn dir,
+    and no tmp/stale/lock debris may leak."""
+    import glob
+    import multiprocessing as mp
+    import os
+
+    target = str(tmp_path / "mat_race")
+
+    def worker(idx, q):
+        import importlib
+        import time
+
+        entry = importlib.import_module("__spark_entry__")
+
+        def write_slow(tmp):
+            os.makedirs(tmp)
+            for i in range(3):
+                open(os.path.join(tmp, f"part-{i}.parquet"), "w").write(
+                    f"w{idx}")
+                time.sleep(0.01)
+            open(os.path.join(tmp, "_SUCCESS"), "w").write("")
+
+        try:
+            p = entry._materialize(target, write_slow)
+            ok = (os.path.exists(os.path.join(p, "_SUCCESS"))
+                  and len(glob.glob(os.path.join(p, "part-*.parquet"))) == 3)
+            q.put((idx, ok, None))
+        except Exception as e:  # pragma: no cover
+            q.put((idx, False, repr(e)))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(i, q)) for i in range(6)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+
+    assert all(ok for _, ok, _ in results), results
+    assert os.path.exists(f"{target}/_SUCCESS")
+    assert len(glob.glob(f"{target}/part-*.parquet")) == 3
+    # a single writer's files, never an interleaving of two writers
+    contents = {open(f).read() for f in glob.glob(f"{target}/part-*")}
+    assert len(contents) == 1
+    assert not glob.glob(f"{target}.tmp.*")
+    assert not glob.glob(f"{target}.stale.*")
