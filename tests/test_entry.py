@@ -304,3 +304,15 @@ def test_materialize_concurrent_publishers_one_winner(tmp_path):
     assert len(contents) == 1
     assert not glob.glob(f"{target}.tmp.*")
     assert not glob.glob(f"{target}.stale.*")
+
+
+def test_warm_side_tables_materializes_everything(spark):
+    """warm_side_tables must leave every content-addressed side parquet
+    complete (so a bench/correctness harness calling it untimed makes all
+    later side-table reads skip-if-fresh)."""
+    import os
+
+    entrymod.warm_side_tables(spark)
+    for kind in ("labels", "flags", "mel", "spkassign", "spkdim"):
+        p = entrymod._side_path(kind)
+        assert os.path.exists(os.path.join(p, "_SUCCESS")), kind
