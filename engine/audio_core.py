@@ -2,10 +2,11 @@
 vectorized per clip).
 
 Decode goes through a per-codec registry (`decode_payload`): pcm_s16le is
-exact; flac/opus/mp3 are served by a clearly-marked deterministic STAND-IN
-codec (container-magic sniff + zlib, `encode_fake_compressed` /
-`_decode_fake_compressed`) because real codec libraries are not installed
-in this sandbox.  The stand-in exercises the real shape of the path —
+exact; G.711 mu-law/A-law are REAL compressed codecs decoded exactly via
+pure-numpy ITU-T expansion LUTs (no library needed); flac/opus/mp3 are
+served by a clearly-marked deterministic STAND-IN codec (container-magic
+sniff + zlib, `encode_fake_compressed` / `_decode_fake_compressed`)
+because real codec libraries are not installed in this sandbox.  The stand-in exercises the real shape of the path —
 magic validation, decompression, failure -> undecodable — and a production
 deployment replaces it via `register_decoder("flac", soundfile_based_fn)`.
 The critical honesty property: bytes are NEVER PCM-interpreted unless the
@@ -42,6 +43,74 @@ def decode_pcm_s16le(payload: bytes | None) -> np.ndarray | None:
 
 
 # ---------------------------------------------------------------------------
+# G.711 mu-law / A-law — REAL compressed telephony codecs, decoded exactly
+# ---------------------------------------------------------------------------
+# Unlike flac/opus/mp3 (stand-in below, no codec library in this sandbox),
+# G.711 needs no library: the ITU-T G.711 expansion is a fixed 256-entry
+# table, so the decode is one vectorized LUT gather — a genuine 2:1
+# compressed format (8-bit log-companded samples, headerless bitstream,
+# the native wire format of telephony audio) handled end-to-end in-sandbox.
+# Tables are built from the classic CCITT/Sun g711.c reference semantics
+# (BIAS=0x84 segment expansion for mu-law; 0x55 XOR + segment shift for
+# A-law); known-answer vectors pinned in tests/test_audio.py.
+
+
+def _g711_mulaw_table() -> np.ndarray:
+    u = ~np.arange(256, dtype=np.int64) & 0xFF  # complement, 8-bit
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_MULAW_LUT = _g711_mulaw_table()
+_ALAW_LUT = _g711_alaw_table()
+# encoder side: nearest representable level per law (optimal quantizer for
+# the decode table — deterministic; any standards-compliant G.711 stream
+# decodes exactly through the LUTs regardless of which encoder produced it)
+_G711_ENC: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+for _law, _lut in (("mulaw", _MULAW_LUT), ("alaw", _ALAW_LUT)):
+    _order = np.argsort(_lut, kind="stable")
+    _G711_ENC[_law] = (_lut[_order].astype(np.int32), _order.astype(np.uint8))
+
+
+def _decode_g711(payload: bytes | None, lut: np.ndarray) -> np.ndarray | None:
+    if payload is None or len(payload) == 0:
+        return None
+    return lut[np.frombuffer(payload, dtype=np.uint8)]
+
+
+def decode_g711_mulaw(payload: bytes | None) -> np.ndarray | None:
+    return _decode_g711(payload, _MULAW_LUT)
+
+
+def decode_g711_alaw(payload: bytes | None) -> np.ndarray | None:
+    return _decode_g711(payload, _ALAW_LUT)
+
+
+def encode_g711(pcm: np.ndarray, law: str) -> bytes:
+    """int16 samples -> G.711 bytes (fixture/test-side companding): each
+    sample maps to the code whose decoded level is nearest (ties to the
+    lower level).  decode(encode(x)) is the projection onto the law's 256
+    levels, so a second round-trip is exactly idempotent."""
+    levels, codes = _G711_ENC[law]
+    x = np.asarray(pcm, dtype=np.int32)
+    idx = np.searchsorted(levels, x)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    lo = levels[idx - 1]
+    take_lo = (x - lo) <= (levels[idx] - x)  # tie -> lower level
+    nearest = np.where(take_lo, idx - 1, idx)
+    return codes[nearest].tobytes()
+
+
+# ---------------------------------------------------------------------------
 # Codec decode dispatch
 # ---------------------------------------------------------------------------
 
@@ -71,7 +140,11 @@ def _decode_fake_compressed(payload: bytes, codec: str) -> np.ndarray | None:
     return decode_pcm_s16le(raw)
 
 
-_DECODERS: dict = {"pcm_s16le": decode_pcm_s16le}
+_DECODERS: dict = {
+    "pcm_s16le": decode_pcm_s16le,
+    "mulaw": decode_g711_mulaw,
+    "alaw": decode_g711_alaw,
+}
 for _c in FAKE_MAGIC:
     _DECODERS[_c] = (lambda c: lambda p: _decode_fake_compressed(p, c))(_c)
 

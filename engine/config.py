@@ -43,8 +43,17 @@ CODEC_ALIASES = {
     "mp3": "mp3",
     "mpeg3": "mp3",
     "mpeg-3": "mp3",
+    # G.711 telephony companding — decoded EXACTLY in engine/audio_core.py
+    # (pure-numpy ITU-T expansion LUTs, no codec library needed)
+    "mulaw": "mulaw",
+    "ulaw": "mulaw",
+    "pcm_mulaw": "mulaw",
+    "g711u": "mulaw",
+    "alaw": "alaw",
+    "pcm_alaw": "alaw",
+    "g711a": "alaw",
 }
-CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3")
+CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3", "mulaw", "alaw")
 
 
 def canon_codec(codec) -> str | None:

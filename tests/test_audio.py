@@ -319,3 +319,98 @@ def test_raising_decoder_lands_in_undecodable():
         assert frames == (None, None, None)
     finally:
         audio_core._DECODERS.pop("angrycodec", None)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law: a REAL compressed codec decoded exactly in-sandbox
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_answer_vectors():
+    """Decode tables must match the CCITT/Sun g711.c reference semantics.
+    Vectors computed from the reference expansion: mu-law 0xFF/0x7F are
+    the two zero codes, 0x80/0x00 the extremes (+/-32124); A-law 0xD5/0x55
+    are +/-8 (the smallest magnitudes), 0xAA/0x2A the extremes
+    (+/-32256)."""
+    mu = audio_core._MULAW_LUT
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert mu[0x80] == 32124 and mu[0x00] == -32124
+    assert mu.min() == -32124 and mu.max() == 32124
+
+    al = audio_core._ALAW_LUT
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256
+    assert al.min() == -32256 and al.max() == 32256
+
+
+def test_g711_sign_symmetry():
+    mu = audio_core._MULAW_LUT
+    al = audio_core._ALAW_LUT
+    # mu-law: codes 0x00-0x7F are negative-or-zero mirrors of 0x80-0xFF
+    assert np.array_equal(mu[np.arange(128)], -mu[np.arange(128) + 128])
+    # A-law: sign bit is 0x80 of the UNCOMPLEMENTED code after 0x55 xor
+    for c in range(256):
+        assert al[c] == -al[c ^ 0x80]
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_roundtrip_snr_and_idempotence(law):
+    """encode -> decode must exceed the BASELINE 30 dB SNR bar on a
+    speech-level tone (G.711 yields ~37-38 dB), and a second round-trip
+    must be exactly idempotent (the encoder projects onto the law's 256
+    levels)."""
+    sr = 8000
+    ref = _tone(sr, 1.0, 440.0, 0.5) + _tone(sr, 1.0, 973.0, 0.2)
+    pcm = (ref * 32767.0).astype("<i2")
+    payload = audio_core.encode_g711(pcm, law)
+    assert len(payload) == pcm.size  # 1 byte/sample: true 2:1 compression
+    dec = audio_core.decode_payload(payload, law)
+    assert dec is not None and dec.dtype == np.int16
+    snr = audio_core.snr_db(pcm.astype(np.float64) / 32768.0, dec)
+    assert snr >= 30.0, snr
+    payload2 = audio_core.encode_g711(dec, law)
+    dec2 = audio_core.decode_payload(payload2, law)
+    assert np.array_equal(dec, dec2)
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_encoder_is_nearest_level(law):
+    """The fixture-side encoder must pick the nearest decodable level for
+    every int16 value (ties to the lower level) — checked exhaustively
+    against a brute-force argmin over all 256 levels."""
+    lut = (audio_core._MULAW_LUT if law == "mulaw"
+           else audio_core._ALAW_LUT).astype(np.int64)
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    enc = np.frombuffer(audio_core.encode_g711(xs.astype(np.int16), law),
+                        dtype=np.uint8)
+    got = lut[enc]
+    best = np.abs(lut[None, :] - xs[:, None]).min(axis=1)
+    assert np.array_equal(np.abs(got - xs), best)
+
+
+def test_g711_end_to_end_scoring_batch():
+    """G.711 clips flow through the fused scoring batch as first-class
+    decodable codecs (alias + allowlist + registry all live): features
+    present, not UNDECODABLE, and a truncated/empty payload lands in
+    UNDECODABLE instead of being PCM-interpreted."""
+    import pandas as pd
+
+    from engine.operators import scoring
+
+    sr = 8000
+    pcm = (_tone(sr, 0.8, 300.0, 0.4) * 32767.0).astype("<i2")
+    pdf = pd.DataFrame({
+        "clip_id": ["mu0", "al0", "mu_empty"],
+        "part_id": pd.array([0, 0, 0], dtype="int32"),
+        "bytes": [audio_core.encode_g711(pcm, "mulaw"),
+                  audio_core.encode_g711(pcm, "alaw"), b""],
+        "sr_hz": pd.array([sr] * 3, dtype="Int32"),
+        "dur_ms": pd.array([800] * 3, dtype="Int32"),
+        "codec": ["pcm_mulaw", "g711a", "ULAW "],  # aliases exercised
+        "transcript": ["a plain enough test sentence here ok"] * 3,
+    })
+    out = scoring._score_batch(pdf).set_index("clip_id")
+    for cid in ("mu0", "al0"):
+        assert not bool(out.loc[cid, "undecodable"])
+        assert int(out.loc[cid, "n_samples"]) == pcm.size
+    assert bool(out.loc["mu_empty", "undecodable"])
