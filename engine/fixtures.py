@@ -32,7 +32,13 @@ SR_WEIGHTS = {16000: 0.70, 8000: 0.10, 22050: 0.08, 44100: 0.07, 48000: 0.05}
 
 # dirty-but-canonicalizable codec spellings planted into KEPT rows
 DIRTY_CODEC_VARIANTS = {"mp3": ["MP3", "mpeg3"], "flac": ["Flac ", " FLAC"],
-                        "pcm_s16le": ["PCM", "wav"], "opus": ["OPUS", "ogg_opus"]}
+                        "pcm_s16le": ["PCM", "wav"], "opus": ["OPUS", "ogg_opus"],
+                        "mulaw": ["ULAW ", "PCM_MULAW", "g711U"],
+                        "alaw": ["ALAW", " g711a", "PCM_ALAW"]}
+
+# telephony codec mix for the G.711 profile path (codec_weights override):
+# mostly real companded streams, some raw pcm
+TELEPHONY_CODEC_WEIGHTS = {"mulaw": 0.50, "alaw": 0.30, "pcm_s16le": 0.20}
 
 # bump whenever generation logic changes: cached fixture tables on disk are
 # keyed by (n, seed, FIXTURES_VERSION) so stale caches regenerate
@@ -154,7 +160,9 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
                    kept_rate: float = 0.015,
                    dup_rate: float = 0.01,
                    with_audio: bool = True,
-                   start_index: int = 0) -> tuple[pd.DataFrame, pd.DataFrame]:
+                   start_index: int = 0,
+                   codec_weights: dict | None = None,
+                   ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """-> (clips_df, planted_df).  clip_id lexicographic == generation order.
 
     `start_index` offsets the clip-id space so large tables can be built
@@ -163,7 +171,7 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
     prof = PROFILES[profile]
 
     langs = _weighted(rng, LANG_WEIGHTS, n_clips)
-    codecs = _weighted(rng, CODEC_WEIGHTS, n_clips)
+    codecs = _weighted(rng, codec_weights or CODEC_WEIGHTS, n_clips)
     srs = _weighted(rng, SR_WEIGHTS, n_clips).astype(np.int64)
     durs = np.exp(rng.normal(np.log(prof.dur_median_ms), prof.dur_sigma, n_clips))
     durs = np.clip(durs, prof.dur_min_ms, prof.dur_max_ms).astype(np.int64)
@@ -291,10 +299,14 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
             payload = _synth_pcm(rng, synth_sr, n_samples)
 
         # honest container encoding: compressed-canon codecs carry stand-in
-        # compressed bytes, never raw PCM under a flac/opus/mp3 label
+        # compressed bytes, never raw PCM under a flac/opus/mp3 label;
+        # G.711 rows carry REAL companded streams (audio_core.encode_g711)
         canon = config.canon_codec(codec)
         if payload is not None and canon in audio_core.FAKE_MAGIC:
             payload = audio_core.encode_fake_compressed(payload, canon)
+        elif payload is not None and canon in ("mulaw", "alaw"):
+            payload = audio_core.encode_g711(
+                np.frombuffer(payload, dtype="<i2"), canon)
         if cls == "UNDECODABLE" and payload is not None:
             v = rng.random()
             if v < 0.4:  # right magic, non-stream garbage (real-flac shape)

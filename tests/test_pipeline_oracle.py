@@ -108,3 +108,46 @@ def test_determinism_across_partitionings(spark, clips_t1):
     b = pipeline.run_pipeline(clips.repartition(17)) \
         .toPandas().sort_values("clip_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_engine_matches_oracle_telephony_g711(spark, tmp_path):
+    """Full pipeline vs pure-pandas oracle over a TELEPHONY corpus: most
+    payloads are real ITU-T G.711 mu-law/A-law companded streams (decoded
+    exactly by pure-numpy LUTs, no stand-in, no backend).  Exact
+    keep/drop + drop_reason + per-rule-flag agreement, and the G.711 rows
+    must actually be live: clean companded clips decode (not
+    UNDECODABLE), dirty G.711 spellings canonicalize."""
+    from engine import config, fixtures
+
+    clips_pd, planted = fixtures.generate_clips(
+        800, seed=77, profile="test",
+        codec_weights=fixtures.TELEPHONY_CODEC_WEIGHTS)
+    canon = clips_pd["codec"].map(config.canon_codec)
+    assert (canon.isin(["mulaw", "alaw"])).sum() > 400  # corpus is telephony
+
+    path = str(tmp_path / "clips_telephony")
+    fixtures.write_clips_parquet(spark, clips_pd, path)
+    eng = _run_engine(spark, path)
+    ora = oracle.label_clips(clips_pd)
+
+    assert len(eng) == len(ora)
+    assert (eng["clip_id"].values == ora["clip_id"].values).all()
+    assert (eng["keep"].values == ora["keep"].values).all()
+    dr_eng = eng["drop_reason"].fillna("<keep>")
+    dr_ora = ora["drop_reason"].fillna("<keep>")
+    bad = eng.loc[dr_eng.values != dr_ora.values, "clip_id"].tolist()
+    assert not bad, f"drop_reason mismatches: {bad[:10]}"
+    for i in range(len(eng)):
+        assert eng["rule_flags"].iloc[i] == ora["rule_flags"].iloc[i]
+
+    # the companded rows really decode: no clean G.711 clip may land in
+    # UNDECODABLE (a broken LUT/dispatch would push them all there)
+    planted_cls = dict(zip(planted["clip_id"], planted["defect"]))
+    g711_clean = [cid for cid, c in zip(clips_pd["clip_id"], canon)
+                  if c in ("mulaw", "alaw")
+                  and planted_cls.get(cid, "clean") == "clean"]
+    flags = dict(zip(eng["clip_id"], eng["rule_flags"]))
+    assert g711_clean
+    undec = [cid for cid in g711_clean
+             if flags[cid].get(config.RULE_UNDECODABLE)]
+    assert not undec, undec[:5]
