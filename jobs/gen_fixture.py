@@ -15,6 +15,10 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--profile", default="test",
                     choices=["fixtures", "test", "bench"])
+    ap.add_argument("--codec-mix", default="default",
+                    choices=["default", "telephony"],
+                    help="telephony = mostly real G.711 mu-law/A-law "
+                         "companded payloads (decoded exactly in-engine)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
@@ -24,13 +28,16 @@ def main() -> int:
     from engine import fixtures
 
     spark = SparkSession.builder.appName("clip-fixture-gen").getOrCreate()
+    weights = (fixtures.TELEPHONY_CODEC_WEIGHTS
+               if args.codec_mix == "telephony" else None)
     clips_pd, planted = fixtures.generate_clips(
-        args.n, seed=args.seed, profile=args.profile)
+        args.n, seed=args.seed, profile=args.profile, codec_weights=weights)
     fixtures.write_clips_parquet(spark, clips_pd, args.out)
     spark.createDataFrame(planted).coalesce(1).write.mode("overwrite") \
         .parquet(f"{args.out}_planted")
     print(f"wrote {len(clips_pd)} clips to {args.out} "
-          f"(profile={args.profile}, seed={args.seed})")
+          f"(profile={args.profile}, codec_mix={args.codec_mix}, "
+          f"seed={args.seed})")
     spark.stop()
     return 0
 
