@@ -66,6 +66,35 @@ def _side_path(kind: str) -> str:
         f"_{config.rule_version()}")
 
 
+_SWEEP_DEAD_PID_AGE_S = 300       # dead-pid orphans: swept after 5 min
+_SWEEP_ANY_AGE_S = 24 * 3600      # any orphan: swept after 24 h
+
+
+def _sweep_orphans(path: str) -> None:
+    """Reclaim tmp/stale dirs left by crashed writers.  A dir is swept when
+    its writer pid is dead AND it has been quiet for 5 minutes, or
+    unconditionally after 24 h.  The age guards cover the two /proc
+    blind spots: a writer in another PID namespace sharing /tmp (its pid
+    looks dead here, but an in-progress Spark write keeps refreshing the
+    dir mtime via part-file create/rename), and pid REUSE (the orphan's
+    pid number now names an unrelated live process, so the 24 h catch-all
+    reclaims it regardless).  The tiny `.lock` files persist by design —
+    unlinking a file others may flock() races a third opener onto a
+    different inode, silently splitting the lock."""
+    import time
+
+    now = time.time()
+    for d in glob.glob(f"{path}.tmp.*") + glob.glob(f"{path}.stale.*"):
+        try:
+            age = now - os.stat(d).st_mtime
+        except OSError:
+            continue  # concurrently removed
+        pid = d.rsplit(".", 1)[-1]
+        pid_dead = not (pid.isdigit() and os.path.exists(f"/proc/{pid}"))
+        if (pid_dead and age > _SWEEP_DEAD_PID_AGE_S) or age > _SWEEP_ANY_AGE_S:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _materialize(path: str, write_fn) -> str:
     """Skip-if-fresh + atomic publish.  A COMPLETE dir at a content-
     addressed path is valid by construction (the key hashes code +
@@ -77,15 +106,11 @@ def _materialize(path: str, write_fn) -> str:
     rename race discards its tmp dir, and no reader ever sees a torn
     write."""
     marker = os.path.join(path, "_SUCCESS")
+    _sweep_orphans(path)  # BEFORE skip-if-fresh: a SIGKILLed loser's
+    # multi-GB tmp dir next to an already-published path must still be
+    # reclaimed (the fresh-path return would otherwise shadow it forever)
     if os.path.exists(marker):
         return path
-    # sweep orphans from crashed prior runs (tmp/stale dirs are suffixed
-    # with the writer's pid; only dead pids are swept, so a concurrent
-    # live writer's tmp is never touched)
-    for d in glob.glob(f"{path}.tmp.*") + glob.glob(f"{path}.stale.*"):
-        pid = d.rsplit(".", 1)[-1]
-        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
-            shutil.rmtree(d, ignore_errors=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     try:

@@ -155,12 +155,17 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
     per_query["clips_pipeline_fused"] = clips["sec"]
     total += clips["sec"]
 
-    # one-time oracle-prep outside the timed spans: the content-addressed
-    # side parquets (labels/flags/mel/speaker) are shared fixture state for
-    # the DuckDB twins, and the fused scoring that produces them is already
-    # timed above as clips_pipeline_fused; on every later invocation this
-    # is a skip-if-fresh no-op
+    # one-time oracle-prep outside the per-query timings: the
+    # content-addressed side parquets (labels/flags/mel/speaker) are shared
+    # fixture state for the DuckDB twins — their write runs the fused
+    # pipeline over the small ENTRY table (a different input than the
+    # n_clips fixture timed above), so charging it to whichever timed
+    # query touches it first misstated that operator's cost.  The warm is
+    # reported separately below (oracle_prep_sec, excluded from `value`);
+    # on every later invocation it is a skip-if-fresh no-op and reads 0.
+    t0 = time.time()
     entry_mod.warm_side_tables(spark, sf_dir)
+    oracle_prep = round(time.time() - t0, 3)
 
     for name, fn in sorted(entry_mod.queries().items()):
         t0 = time.time()
@@ -176,6 +181,7 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "oracle_prep_sec": oracle_prep,
         "sf": sf_dir,
         "cpus": cpus,
         "clips_bench": clips,

@@ -34,7 +34,7 @@ import math
 
 import numpy as np
 
-from . import templates
+from . import chunking, templates
 
 _PAD = "\x00"
 _SMOOTH = 0.5
@@ -118,16 +118,9 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
     if not rows:
         return langs, margins
 
-    start = 0
-    while start < len(rows):
-        end, acc = start, 0
-        while end < len(rows) and (end == start
-                                   or acc + glens[end] <= _TRI_CHUNK):
-            acc += glens[end]
-            end += 1
+    for start, end in chunking.chunk_spans(glens, _TRI_CHUNK):
         _score_chunk(padded[start:end], glens[start:end], rows[start:end],
                      langs, margins)
-        start = end
     return langs, margins
 
 

@@ -27,7 +27,7 @@ import math
 
 import numpy as np
 
-from . import templates
+from . import chunking, templates
 
 _BOS = "<s>"
 _UNK = "<unk>"
@@ -139,16 +139,10 @@ def perplexity_batch(texts, langs) -> list[float]:
     # O(_TOK_CHUNK) per UDF worker, not O(batch tokens)
     for lang, (rows, toks) in groups.items():
         m = _MODELS[lang]
-        start = 0
-        while start < len(rows):
-            end, acc = start, 0
-            while end < len(rows) and (end == start
-                                       or acc + len(toks[end]) <= _TOK_CHUNK):
-                acc += len(toks[end])
-                end += 1
+        for start, end in chunking.chunk_spans(
+                [len(t) for t in toks], _TOK_CHUNK):
             out[np.array(rows[start:end], dtype=np.int64)] = \
                 _score_group(m, toks[start:end])
-            start = end
     return out.tolist()
 
 

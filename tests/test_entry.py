@@ -229,28 +229,42 @@ def test_materialize_cleans_up_on_writer_failure(tmp_path):
     assert os.path.exists(f"{target}/_SUCCESS")
 
 
-def test_materialize_sweeps_dead_pid_orphans_only(tmp_path):
+def test_materialize_sweeps_aged_orphans(tmp_path):
     """Orphan tmp/stale dirs from crashed runs are swept when their pid is
-    dead; a live writer's tmp dir is never touched."""
+    dead AND the dir has been quiet past the grace age, or unconditionally
+    after the 24 h catch-all (pid reuse).  Fresh dead-pid dirs survive
+    (cross-PID-namespace writers look dead in this /proc but keep their
+    dir mtime moving), and the sweep runs even when the target path is
+    already complete — a SIGKILLed loser's dir next to a published path
+    must not leak forever."""
     import os
+    import time
 
     target = str(tmp_path / "mat_orphan")
-    dead = f"{target}.tmp.999999999"  # pid_max is < 2^22 on Linux
-    live = f"{target}.tmp.{os.getpid()}"
-    os.makedirs(dead)
-    os.makedirs(live)
-    os.makedirs(f"{target}.stale.999999998")
+    now = time.time()
+    dead_old = f"{target}.tmp.999999999"  # pid_max is < 2^22 on Linux
+    dead_fresh = f"{target}.tmp.999999998"
+    live_ancient = f"{target}.tmp.1"  # pid 1 is always alive
+    for d, age in ((dead_old, 600), (dead_fresh, 0), (live_ancient, 0)):
+        os.makedirs(d)
+        os.utime(d, (now - age, now - age))
+    os.makedirs(f"{target}.stale.999999997")
+    os.utime(f"{target}.stale.999999997", (now - 600, now - 600))
 
     def write_ok(tmp):
         os.makedirs(tmp, exist_ok=True)
         open(os.path.join(tmp, "_SUCCESS"), "w").write("")
 
     assert entrymod._materialize(target, write_ok) == target
-    assert not os.path.exists(dead)
-    assert not os.path.exists(f"{target}.stale.999999998")
-    # the live-pid dir belongs to this very process in the real flow, and
-    # _materialize reuses+publishes it as its own tmp — all that matters
-    # is it is not treated as a dead orphan before the write
+    assert not os.path.exists(dead_old)
+    assert not os.path.exists(f"{target}.stale.999999997")
+    assert os.path.exists(dead_fresh)  # inside the dead-pid grace window
+
+    # 24 h catch-all: even a pid that looks ALIVE (reuse) is reclaimed
+    os.utime(live_ancient, (now - 25 * 3600, now - 25 * 3600))
+    # sweep must also fire on the skip-if-fresh (already-complete) path
+    assert entrymod._materialize(target, write_ok) == target
+    assert not os.path.exists(live_ancient)
     assert os.path.exists(f"{target}/_SUCCESS")
 
 

@@ -156,3 +156,16 @@ def test_chunk_size_invariance_property(texts, tri_chunk, tok_chunk,
     assert ppl_c == ppl_ref
     assert np.array_equal(sh_c_signed, sh_ref_signed)
     assert np.array_equal(sh_c_bands, sh_ref_bands)
+
+
+def test_chunk_spans_edge_cases():
+    """The shared span splitter (engine/chunking.py): empty input, a
+    single oversized item in its own span, exact-fit packing, and an
+    oversized item between normal ones."""
+    from engine.chunking import chunk_spans
+
+    assert list(chunk_spans([], 5)) == []
+    assert list(chunk_spans([10], 5)) == [(0, 1)]
+    assert list(chunk_spans([2, 2, 2, 2], 5)) == [(0, 2), (2, 4)]
+    assert list(chunk_spans([2, 9, 1], 5)) == [(0, 1), (1, 2), (2, 3)]
+    assert list(chunk_spans([5], 5)) == [(0, 1)]
