@@ -169,3 +169,45 @@ def test_chunk_spans_edge_cases():
     assert list(chunk_spans([2, 2, 2, 2], 5)) == [(0, 2), (2, 4)]
     assert list(chunk_spans([2, 9, 1], 5)) == [(0, 1), (1, 2), (2, 3)]
     assert list(chunk_spans([5], 5)) == [(0, 1)]
+
+
+def test_fused_batch_handles_pathological_transcripts():
+    """The input class that motivated the memory bounding, driven through
+    the REAL fused scoring batch (not just the cores): a batch mixing
+    multi-100k-char transcripts (single-language, mixed-language, and
+    repeated-token) with normal rows must complete and score every row —
+    and the long rows' outputs must equal scoring them alone (batch
+    composition independence at the UDF level)."""
+    import pandas as pd
+
+    from engine import templates
+    from engine.operators import scoring
+
+    def row(cid, transcript):
+        return {"clip_id": cid, "part_id": 0, "bytes": None, "sr_hz": 16000,
+                "dur_ms": 60000, "codec": "pcm_s16le",
+                "transcript": transcript}
+
+    en = " ".join(templates.SENTENCES[templates.LANGS[0]]) + " "
+    de = " ".join(templates.SENTENCES[templates.LANGS[1]]) + " "
+    long_en = (en * (120_000 // len(en) + 1))[:120_000]
+    long_mixed = ((en + de) * (120_000 // len(en + de) + 1))[:120_000]
+    long_tok = ("tok " * 40_000)[:120_000]
+    rows = [row("p_en", long_en), row("n_0", en.strip()),
+            row("p_mix", long_mixed), row("n_1", de.strip()),
+            row("p_tok", long_tok)]
+    pdf = pd.DataFrame(rows)
+    pdf["part_id"] = pd.array(pdf["part_id"], dtype="int32")
+    pdf["sr_hz"] = pd.array(pdf["sr_hz"], dtype="Int32")
+    pdf["dur_ms"] = pd.array(pdf["dur_ms"], dtype="Int32")
+
+    out = scoring._score_batch(pdf.copy()).set_index("clip_id")
+    assert len(out) == 5 and out["lang"].notna().all()
+    assert out.loc["p_en", "lang"] == templates.LANGS[0]
+
+    solo = scoring._score_batch(
+        pdf[pdf.clip_id.str.startswith("p_")].reset_index(drop=True).copy()
+    ).set_index("clip_id")
+    for cid in ("p_en", "p_mix", "p_tok"):
+        for col in ("lang", "lid_margin", "ppl_score", "simhash"):
+            assert out.loc[cid, col] == solo.loc[cid, col], (cid, col)
