@@ -218,9 +218,10 @@ def _sql_clips_lineage() -> str:
 SELECT CAST(part_id AS INTEGER) AS part_id,
        'committed' AS status,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
-       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scrubbed,
        '{config.rule_version()}' AS rule_version
 FROM read_parquet('{_labels_parquet_path()}/*.parquet')
 GROUP BY part_id
@@ -231,10 +232,11 @@ def _sql_clips_eval_report() -> str:
     return f"""
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE),
              6) AS keep_rate,
-       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       CAST(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scrubbed,
        ROUND(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS scrub_rate,
        CASE WHEN COUNT(CASE WHEN keep AND ppl_score IS NOT NULL
@@ -401,13 +403,14 @@ e AS (SELECT COALESCE(d.region, '<unknown>') AS region,
       LEFT JOIN d ON a.speaker_id = d.speaker_id)
 SELECT region, device,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE),
              6) AS keep_rate,
-       SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS n_scrubbed,
+       CAST(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scrubbed,
        ROUND(SUM(CASE WHEN n_scrub_hits > 0 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS scrub_rate,
-       SUM(CASE WHEN repaired THEN 1 ELSE 0 END) AS n_repaired
+       CAST(SUM(CASE WHEN repaired THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
 FROM e GROUP BY region, device ORDER BY region, device
 """
 

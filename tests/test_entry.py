@@ -48,10 +48,30 @@ def test_every_query_has_callable_signature():
 def test_query_matches_duckdb(spark, ddb, name):
     got = entrymod.queries()[name](spark, SF_DIR).toPandas()
     exp = ddb.execute(entrymod.oracle_sql()[name]).fetchdf()
-    g, e = _normalize(got), _normalize(exp)
+    (g, g_kinds), (e, e_kinds) = _normalize(got), _normalize(exp)
     assert len(g) == len(e), f"{name}: rowcount {len(g)} vs {len(e)}"
     assert list(g.columns) == list(e.columns)
+    # driver-faithful: its value hash is dtype-sensitive (810 != 810.0), so
+    # an int-vs-float split between Spark and the oracle must fail locally
+    assert g_kinds == e_kinds, f"{name}: numeric-kind split {g_kinds} vs {e_kinds}"
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def test_gate_catches_uncast_sum_dtype_split(ddb):
+    """Regression for the round-4 driver reds: DuckDB returns uncast
+    SUM(CASE ...) as HUGEINT -> pandas float64 while Spark returns int64;
+    the local gate's kind check must flag that split even though the
+    VALUES are equal (check_entry.py was blind to it for two rounds)."""
+    exp = ddb.execute(
+        "SELECT SUM(CASE WHEN d_id >= 0 THEN 1 ELSE 0 END) AS n "
+        "FROM (SELECT 0 AS d_id UNION ALL SELECT 1)").fetchdf()
+    got = pd.DataFrame({"n": pd.Series([2], dtype="int64")})
+    (g, g_kinds), (e, e_kinds) = _normalize(got), _normalize(exp)
+    # values equal under the old dtype-insensitive compare...
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+    # ...but the kinds split, and the gate must see it
+    assert e_kinds["n"] == "float" and g_kinds["n"] == "int"
+    assert g_kinds != e_kinds
 
 
 @pytest.mark.parametrize("name", ["clips_pipeline", "clips_decode",

@@ -21,7 +21,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
+    """Canonicalize for an order-insensitive value compare, AND report each
+    column's numeric KIND ('int'/'float'/'bool'/'other') from the RAW dtype,
+    before any coercion.  The driver's hash renders values dtype-sensitively
+    (810 vs 810.0 hash differently), so an int-vs-float split between Spark
+    and DuckDB — e.g. an uncast SUM(CASE ...) coming back HUGEINT→float64 —
+    must fail HERE too, not just at the driver (round-4 verdict item 2:
+    check_dtype=False + Int64 coercion made this gate blind to exactly the
+    bug class that shipped two rounds)."""
+    kinds = {}
+    for c in df.columns:
+        if pd.api.types.is_bool_dtype(df[c]):
+            kinds[c] = "bool"
+        elif pd.api.types.is_integer_dtype(df[c]):
+            kinds[c] = "int"
+        elif pd.api.types.is_float_dtype(df[c]):
+            kinds[c] = "float"
+        else:
+            kinds[c] = "other"
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
@@ -33,7 +51,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
     df = df.sort_values(list(df.columns), kind="mergesort",
                         na_position="first").reset_index(drop=True)
-    return df
+    return df, kinds
 
 
 def main() -> int:
@@ -72,12 +90,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
-        g, e_ = _normalize(got), _normalize(exp)
+        (g, g_kinds), (e_, e_kinds) = _normalize(got), _normalize(exp)
         status = []
         if len(g) != len(e_):
             status.append(f"rowcount {len(g)} vs {len(e_)}")
         if list(g.columns) != list(e_.columns):
             status.append(f"schema {list(g.columns)} vs {list(e_.columns)}")
+        else:
+            kind_diffs = [f"{c}: spark={g_kinds[c]} oracle={e_kinds[c]}"
+                          for c in g.columns if g_kinds[c] != e_kinds[c]]
+            if kind_diffs:
+                status.append("dtype kind (driver hashes this): "
+                              + "; ".join(kind_diffs))
         if not status:
             try:
                 pd.testing.assert_frame_equal(g, e_, check_dtype=False,
