@@ -148,10 +148,16 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
 
     per_query: dict[str, float] = {}
     total = 0.0
-    # best of 2: the first pass pays one-time JVM JIT + Python-worker
-    # spin-up; the second is the steady-state number a long job sees
-    clips = min((_time_clips_pipeline(spark, n_clips) for _ in range(2)),
-                key=lambda r: r["sec"])
+    # best of 3 + median recorded: the first pass pays one-time JVM JIT +
+    # Python-worker spin-up, and this host's single-run swings are >2x
+    # (BENCH/BASELINE.md "Repeatability") — round 4's driver file recorded
+    # a 29% fused "regression" that neither the checked-in snapshot nor a
+    # re-run reproduced, from exactly one loud window at best-of-2.  The
+    # headline stays the min (steady-state cost a long job sees); the
+    # median + all runs ship alongside so noise is adjudicable in-file.
+    fused_runs = [_time_clips_pipeline(spark, n_clips) for _ in range(3)]
+    clips = min(fused_runs, key=lambda r: r["sec"])
+    fused_secs = sorted(r["sec"] for r in fused_runs)
     per_query["clips_pipeline_fused"] = clips["sec"]
     total += clips["sec"]
 
@@ -185,6 +191,8 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
         "sf": sf_dir,
         "cpus": cpus,
         "clips_bench": clips,
+        "clips_fused_runs_sec": fused_secs,
+        "clips_fused_median_sec": fused_secs[len(fused_secs) // 2],
         "clips_per_sec": clips["clips_per_sec"],
     }
 
