@@ -3,7 +3,9 @@ vectorized per clip).
 
 Decode goes through a per-codec registry (`decode_payload`): pcm_s16le is
 exact; G.711 mu-law/A-law are REAL compressed codecs decoded exactly via
-pure-numpy ITU-T expansion LUTs (no library needed); flac/opus/mp3 are
+pure-numpy ITU-T expansion LUTs (no library needed); IMA/DVI4 ADPCM is a
+REAL 4:1 compressed codec decoded exactly (stdlib audioop's C path when
+present, bit-identical pure-Python otherwise); flac/opus/mp3 are
 served by a clearly-marked deterministic STAND-IN codec (container-magic
 sniff + zlib, `encode_fake_compressed` / `_decode_fake_compressed`)
 because real codec libraries are not installed in this sandbox.  The stand-in exercises the real shape of the path —
@@ -111,6 +113,135 @@ def encode_g711(pcm: np.ndarray, law: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# IMA / DVI4 ADPCM — REAL 4:1 compressed codec, decoded exactly
+# ---------------------------------------------------------------------------
+# Second real compressed codec alongside G.711 (round-4 verdict item 4).
+# The payload is a headerless packed-nibble stream — high nibble first,
+# initial predictor state (0, 0) — i.e. the wire format of stdlib
+# audioop.lin2adpcm and of RTP DVI4 minus its 4-byte state header (the
+# IMA/Intel-DVI algorithm is a public spec: 89-entry step table + 8-entry
+# index-adjust table).  The hot path uses audioop's C implementation when
+# the module exists (stdlib through Python 3.12); the pure-Python decoder
+# below is BIT-IDENTICAL (property-pinned against audioop in
+# tests/test_audio.py) and keeps the codec exact-in-engine on 3.13+ where
+# audioop was removed — slower (per-nibble loop; the predictor/step
+# recursion has a clipped-cumsum data dependency that defeats numpy
+# vectorization), so a production deployment without audioop should chain
+# a C backend via the $SPARK_GRAFT_AUDIO_BACKENDS import-time hook.
+
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+_ADPCM_IDX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+try:  # deprecation-warns on 3.11/3.12, removed in 3.13 — probe quietly
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop as _audioop
+except Exception:  # pragma: no cover - exercised on Python >= 3.13
+    _audioop = None
+
+
+def _adpcm_decode_py(payload: bytes) -> np.ndarray:
+    """Pure-Python IMA ADPCM expansion (reference implementation; exactly
+    the audioop.adpcm2lin recursion)."""
+    steps, adj = _ADPCM_STEPS, _ADPCM_IDX_ADJ
+    valpred, index = 0, 0
+    out = np.empty(2 * len(payload), dtype=np.int16)
+    k = 0
+    for byte in payload:
+        for delta in ((byte >> 4) & 0xF, byte & 0xF):
+            step = steps[index]
+            index = min(max(index + adj[delta & 7], 0), 88)
+            vpdiff = step >> 3
+            if delta & 4:
+                vpdiff += step
+            if delta & 2:
+                vpdiff += step >> 1
+            if delta & 1:
+                vpdiff += step >> 2
+            valpred = valpred - vpdiff if delta & 8 else valpred + vpdiff
+            valpred = min(max(valpred, -32768), 32767)
+            out[k] = valpred
+            k += 1
+    return out
+
+
+def _adpcm_encode_py(x: np.ndarray) -> bytes:
+    """Pure-Python IMA ADPCM compression (exactly the audioop.lin2adpcm
+    recursion; `x` must have an even number of samples)."""
+    steps, adj = _ADPCM_STEPS, _ADPCM_IDX_ADJ
+    valpred, index = 0, 0
+    out = bytearray(len(x) // 2)
+    hi = 0
+    for k, val in enumerate(x.tolist()):
+        step = steps[index]
+        diff = val - valpred
+        sign = 8 if diff < 0 else 0
+        if sign:
+            diff = -diff
+        delta = 0
+        vpdiff = step >> 3
+        if diff >= step:
+            delta = 4
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            delta |= 2
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            delta |= 1
+            vpdiff += step
+        valpred = valpred - vpdiff if sign else valpred + vpdiff
+        valpred = min(max(valpred, -32768), 32767)
+        delta |= sign
+        index = min(max(index + adj[delta & 7], 0), 88)
+        if k % 2 == 0:
+            hi = delta
+        else:
+            out[k // 2] = ((hi << 4) & 0xF0) | (delta & 0x0F)
+    return bytes(out)
+
+
+def decode_adpcm_ima(payload: bytes | None) -> np.ndarray | None:
+    """IMA ADPCM bytes -> int16 samples (2 per byte); None/empty -> None.
+    Headerless like G.711: every byte string is a valid nibble stream, so
+    only a MISSING payload is undecodable under this codec."""
+    if payload is None or len(payload) == 0:
+        return None
+    if _audioop is not None:
+        raw, _state = _audioop.adpcm2lin(payload, 2, None)
+        return np.frombuffer(raw, dtype=np.int16)  # native, like audioop
+    return _adpcm_decode_py(payload)
+
+
+def encode_adpcm_ima(pcm: np.ndarray) -> bytes:
+    """int16 samples -> IMA ADPCM bytes (fixture/test-side compression).
+    Odd-length input is padded by repeating the final sample so both the
+    audioop and pure paths emit the identical complete nibble stream
+    (audioop silently drops a trailing lone nibble)."""
+    x = np.asarray(pcm, dtype=np.int16)
+    if x.size % 2:
+        x = np.concatenate([x, x[-1:]])
+    if _audioop is not None:
+        data, _state = _audioop.lin2adpcm(
+            np.ascontiguousarray(x).tobytes(), 2, None)
+        return data
+    return _adpcm_encode_py(x)
+
+
+# ---------------------------------------------------------------------------
 # Codec decode dispatch
 # ---------------------------------------------------------------------------
 
@@ -144,6 +275,7 @@ _DECODERS: dict = {
     "pcm_s16le": decode_pcm_s16le,
     "mulaw": decode_g711_mulaw,
     "alaw": decode_g711_alaw,
+    "adpcm_ima": decode_adpcm_ima,
 }
 for _c in FAKE_MAGIC:
     _DECODERS[_c] = (lambda c: lambda p: _decode_fake_compressed(p, c))(_c)
@@ -192,7 +324,9 @@ def _make_soundfile_decoder(sf):
 
 
 # codec -> backend name actually serving it (introspection / logging)
-AVAILABLE_BACKENDS: dict[str, str] = {}
+AVAILABLE_BACKENDS: dict[str, str] = {
+    "adpcm_ima": "audioop" if _audioop is not None else "pure-python",
+}
 
 
 def autodetect_backends() -> dict[str, str]:

@@ -52,8 +52,15 @@ CODEC_ALIASES = {
     "alaw": "alaw",
     "pcm_alaw": "alaw",
     "g711a": "alaw",
+    # IMA/DVI4 ADPCM — decoded EXACTLY in engine/audio_core.py (audioop C
+    # path when present, bit-identical pure-Python reference otherwise)
+    "adpcm_ima": "adpcm_ima",
+    "adpcm": "adpcm_ima",
+    "ima_adpcm": "adpcm_ima",
+    "dvi4": "adpcm_ima",
 }
-CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3", "mulaw", "alaw")
+CODEC_ALLOWLIST = ("pcm_s16le", "flac", "opus", "mp3", "mulaw", "alaw",
+                   "adpcm_ima")
 
 
 def canon_codec(codec) -> str | None:

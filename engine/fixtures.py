@@ -34,15 +34,17 @@ SR_WEIGHTS = {16000: 0.70, 8000: 0.10, 22050: 0.08, 44100: 0.07, 48000: 0.05}
 DIRTY_CODEC_VARIANTS = {"mp3": ["MP3", "mpeg3"], "flac": ["Flac ", " FLAC"],
                         "pcm_s16le": ["PCM", "wav"], "opus": ["OPUS", "ogg_opus"],
                         "mulaw": ["ULAW ", "PCM_MULAW", "g711U"],
-                        "alaw": ["ALAW", " g711a", "PCM_ALAW"]}
+                        "alaw": ["ALAW", " g711a", "PCM_ALAW"],
+                        "adpcm_ima": ["ADPCM", "DVI4", " Ima_ADPCM"]}
 
-# telephony codec mix for the G.711 profile path (codec_weights override):
-# mostly real companded streams, some raw pcm
-TELEPHONY_CODEC_WEIGHTS = {"mulaw": 0.50, "alaw": 0.30, "pcm_s16le": 0.20}
+# telephony codec mix (codec_weights override): mostly real compressed
+# streams — G.711 companded plus IMA ADPCM — with some raw pcm
+TELEPHONY_CODEC_WEIGHTS = {"mulaw": 0.40, "alaw": 0.25, "adpcm_ima": 0.15,
+                           "pcm_s16le": 0.20}
 
 # bump whenever generation logic changes: cached fixture tables on disk are
 # keyed by (n, seed, FIXTURES_VERSION) so stale caches regenerate
-FIXTURES_VERSION = 4
+FIXTURES_VERSION = 5
 
 DEFECT_CLASSES = [
     "DUR_BOUNDS", "SR_INVALID", "CODEC_INVALID", "UNDECODABLE", "DUR_MISMATCH",
@@ -307,6 +309,9 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
         elif payload is not None and canon in ("mulaw", "alaw"):
             payload = audio_core.encode_g711(
                 np.frombuffer(payload, dtype="<i2"), canon)
+        elif payload is not None and canon == "adpcm_ima":
+            payload = audio_core.encode_adpcm_ima(
+                np.frombuffer(payload, dtype="<i2"))
         if cls == "UNDECODABLE" and payload is not None:
             v = rng.random()
             if v < 0.4:  # right magic, non-stream garbage (real-flac shape)

@@ -17,8 +17,9 @@ def main() -> int:
                     choices=["fixtures", "test", "bench"])
     ap.add_argument("--codec-mix", default="default",
                     choices=["default", "telephony"],
-                    help="telephony = mostly real G.711 mu-law/A-law "
-                         "companded payloads (decoded exactly in-engine)")
+                    help="telephony = mostly real compressed payloads — "
+                         "G.711 mu-law/A-law companded plus IMA ADPCM "
+                         "(all decoded exactly in-engine)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()

@@ -414,3 +414,97 @@ def test_g711_end_to_end_scoring_batch():
         assert not bool(out.loc[cid, "undecodable"])
         assert int(out.loc[cid, "n_samples"]) == pcm.size
     assert bool(out.loc["mu_empty", "undecodable"])
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI4 ADPCM: the second REAL compressed codec decoded exactly
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_known_answer_vector():
+    """Pinned expansion of a fixed nibble stream under initial state (0,0):
+    computed once from the public IMA recursion (step/index tables); any
+    drift in either decode path breaks these exact values."""
+    payload = bytes([0x07, 0x7F, 0x88, 0x10, 0xFF, 0x00])
+    want = np.array([0, 11, 41, -22, -31, -39, -17, -11, -104, -303,
+                     -275, -249], dtype=np.int16)
+    got = audio_core.decode_adpcm_ima(payload)
+    assert got is not None and got.dtype == np.int16
+    assert np.array_equal(got, want), got.tolist()
+    # the pure-Python reference agrees exactly, whatever served the call
+    assert np.array_equal(audio_core._adpcm_decode_py(payload), want)
+
+
+def test_adpcm_pure_paths_match_audioop():
+    """Where stdlib audioop exists (<= 3.12), the pure-Python decoder AND
+    encoder must be bit-identical to its C implementation on random
+    streams — the property that licenses the pure path as the 3.13+
+    fallback."""
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(123)
+    for _ in range(8):
+        n = int(rng.integers(1, 1500)) * 2
+        pcm = rng.integers(-32768, 32768, n).astype(np.int16)
+        want_enc, _ = audioop.lin2adpcm(pcm.tobytes(), 2, None)
+        assert audio_core._adpcm_encode_py(pcm) == want_enc
+        want_dec, _ = audioop.adpcm2lin(want_enc, 2, None)
+        assert np.array_equal(audio_core._adpcm_decode_py(want_enc),
+                              np.frombuffer(want_dec, dtype=np.int16))
+
+
+def test_adpcm_roundtrip_snr_and_compression():
+    """encode -> decode at true 4:1 compression (half a byte per sample).
+    The SNR bar is codec-appropriate: IMA ADPCM's 4-bit adaptive quantizer
+    delivers ~20-26 dB on speech-band material (vs G.711's ~38 dB at half
+    the compression) — that is the codec's real fidelity ceiling, not a
+    decode defect; decode EXACTNESS is pinned separately against audioop
+    and the known-answer vector above."""
+    sr = 8000
+    ref = _tone(sr, 1.0, 440.0, 0.5) + _tone(sr, 1.0, 973.0, 0.2)
+    pcm = (ref * 32767.0).astype("<i2")
+    payload = audio_core.encode_adpcm_ima(pcm)
+    assert len(payload) == pcm.size // 2  # 4 bits/sample
+    dec = audio_core.decode_payload(payload, "adpcm_ima")
+    assert dec is not None and dec.dtype == np.int16 and dec.size == pcm.size
+    snr = audio_core.snr_db(pcm.astype(np.float64) / 32768.0, dec)
+    assert snr >= 20.0, snr
+
+
+def test_adpcm_odd_length_pads_and_empty_rejects():
+    """Odd sample counts pad by repeating the last sample (audioop would
+    silently drop the trailing nibble — both paths must emit the identical
+    complete stream); empty/missing payloads are undecodable."""
+    pcm = np.array([100, -200, 300], dtype=np.int16)
+    payload = audio_core.encode_adpcm_ima(pcm)
+    assert len(payload) == 2  # 4 samples after padding
+    padded = np.array([100, -200, 300, 300], dtype=np.int16)
+    assert payload == audio_core._adpcm_encode_py(padded)
+    assert audio_core.decode_adpcm_ima(b"") is None
+    assert audio_core.decode_adpcm_ima(None) is None
+
+
+def test_adpcm_end_to_end_scoring_batch():
+    """ADPCM clips flow through the fused scoring batch as first-class
+    decodable codecs (alias + allowlist + registry all live), with the
+    decoded-duration recompute agreeing with the stored duration."""
+    import pandas as pd
+
+    from engine.operators import scoring
+
+    sr = 8000
+    pcm = (_tone(sr, 0.8, 300.0, 0.4) * 32767.0).astype("<i2")
+    pdf = pd.DataFrame({
+        "clip_id": ["ad0", "ad1", "ad_empty"],
+        "part_id": pd.array([0, 0, 0], dtype="int32"),
+        "bytes": [audio_core.encode_adpcm_ima(pcm),
+                  audio_core.encode_adpcm_ima(pcm), b""],
+        "sr_hz": pd.array([sr] * 3, dtype="Int32"),
+        "dur_ms": pd.array([800] * 3, dtype="Int32"),
+        "codec": ["DVI4", " adpcm", "Ima_ADPCM"],  # aliases exercised
+        "transcript": ["a plain enough test sentence here ok"] * 3,
+    })
+    out = scoring._score_batch(pdf).set_index("clip_id")
+    for cid in ("ad0", "ad1"):
+        assert not bool(out.loc[cid, "undecodable"])
+        assert int(out.loc[cid, "n_samples"]) == pcm.size
+    assert bool(out.loc["ad_empty", "undecodable"])

@@ -140,14 +140,14 @@ def test_engine_matches_oracle_telephony_g711(spark, tmp_path):
     for i in range(len(eng)):
         assert eng["rule_flags"].iloc[i] == ora["rule_flags"].iloc[i]
 
-    # the companded rows really decode: no clean G.711 clip may land in
-    # UNDECODABLE (a broken LUT/dispatch would push them all there)
+    # the compressed rows really decode: no clean G.711/ADPCM clip may land
+    # in UNDECODABLE (a broken LUT/dispatch/recursion would push them there)
     planted_cls = dict(zip(planted["clip_id"], planted["defect"]))
-    g711_clean = [cid for cid, c in zip(clips_pd["clip_id"], canon)
-                  if c in ("mulaw", "alaw")
-                  and planted_cls.get(cid, "clean") == "clean"]
     flags = dict(zip(eng["clip_id"], eng["rule_flags"]))
-    assert g711_clean
-    undec = [cid for cid in g711_clean
-             if flags[cid].get(config.RULE_UNDECODABLE)]
-    assert not undec, undec[:5]
+    for fam in (("mulaw", "alaw"), ("adpcm_ima",)):
+        fam_clean = [cid for cid, c in zip(clips_pd["clip_id"], canon)
+                     if c in fam and planted_cls.get(cid, "clean") == "clean"]
+        assert fam_clean, fam
+        undec = [cid for cid in fam_clean
+                 if flags[cid].get(config.RULE_UNDECODABLE)]
+        assert not undec, (fam, undec[:5])
