@@ -109,15 +109,19 @@ def _percentiles(df: DataFrame, col: str, ps: list[float],
     return [float(v) for v in row["p"]]
 
 
-def optimal_1d_kmeans_wss(centers: np.ndarray, counts: np.ndarray,
-                          k: int) -> float:
+def _kmeans_dp(centers: np.ndarray, counts: np.ndarray,
+               k_max: int) -> tuple[list[float], np.ndarray]:
     """EXACT weighted k-means SSE for 1-D histogram data, by dynamic
     programming over contiguous bin segments (in one dimension the optimal
     clusters are intervals, so DP over split points is globally optimal —
     no init lottery, unlike the reference's kmeans/fanny fits).
-    O(k * n_bins^2) driver-side work on the (scale-independent) histogram;
-    the corpus itself was only touched by the one aggregation that built
-    the histogram."""
+    O(k_max * n_bins^2) driver-side work on the (scale-independent)
+    histogram, vectorized over the split axis; the corpus itself was only
+    touched by the one aggregation that built the histogram.
+
+    -> (wss[k] for k = 1..k_max as a list, back[k_layer, j] split tables:
+    back[t, j] = the i at which the t+2-cluster solution of bins [0, j)
+    splits off its last cluster [i, j))."""
     w = counts.astype(np.float64)
     x = centers.astype(np.float64)
     n = len(x)
@@ -125,21 +129,68 @@ def optimal_1d_kmeans_wss(centers: np.ndarray, counts: np.ndarray,
     cwx = np.concatenate([[0.0], np.cumsum(w * x)])
     cwx2 = np.concatenate([[0.0], np.cumsum(w * x * x)])
 
-    def seg(i: int, j: int) -> float:  # SSE of bins [i, j)
+    def seg_vec(i: np.ndarray, j: int) -> np.ndarray:  # SSE of bins [i, j)
         ww = cw[j] - cw[i]
-        if ww <= 0:
-            return 0.0
         sx = cwx[j] - cwx[i]
-        return (cwx2[j] - cwx2[i]) - sx * sx / ww
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sse = (cwx2[j] - cwx2[i]) - sx * sx / ww
+        return np.where(ww > 0, sse, 0.0)
 
-    prev = np.array([seg(0, j) for j in range(n + 1)])
-    for _ in range(1, k):
+    idx = np.arange(n + 1)
+    # layer 1: prev[j] = SSE of bins [0, j)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prev = cwx2 - cwx * cwx / cw
+    prev = np.where(cw > 0, prev, 0.0)
+    wss = [float(prev[n])]
+    back = np.zeros((max(k_max - 1, 0), n + 1), dtype=np.int64)
+    for t in range(k_max - 1):
         cur = np.full(n + 1, np.inf)
         cur[0] = 0.0
         for j in range(1, n + 1):
-            cur[j] = min(prev[i] + seg(i, j) for i in range(j + 1))
+            cand = prev[: j + 1] + seg_vec(idx[: j + 1], j)
+            i_best = int(np.argmin(cand))
+            cur[j] = cand[i_best]
+            back[t, j] = i_best
         prev = cur
-    return float(prev[n])
+        wss.append(float(prev[n]))
+    return wss, back
+
+
+def optimal_1d_kmeans_wss(centers: np.ndarray, counts: np.ndarray,
+                          k: int) -> float:
+    """EXACT weighted k-means SSE at one k (see _kmeans_dp)."""
+    return _kmeans_dp(centers, counts, k)[0][k - 1]
+
+
+def kmeans_boundaries(centers: np.ndarray, counts: np.ndarray,
+                      k: int) -> list[float]:
+    """EXACT 1-D k-means segmentation -> k-1 boundary values, each the
+    midpoint of the means of two adjacent clusters (the same convention
+    kmeans2_boundary uses at k=2).  Deterministic: ties in the DP argmin
+    resolve to the leftmost split.  This is the multi-component analog of
+    the reference's 5-7-component strata derivation (mixture fit ->
+    component boundaries, Step3-Temporal-Inconsistency.R:150-355) with the
+    seed-lottery mixture fit replaced by a globally-optimal segmentation."""
+    w = counts.astype(np.float64)
+    x = centers.astype(np.float64)
+    n = len(x)
+    _wss, back = _kmeans_dp(centers, counts, k)
+    # recover split points right-to-left: [0,n) under k clusters
+    splits = []
+    j = n
+    for t in range(k - 2, -1, -1):
+        j = int(back[t, j])
+        splits.append(j)
+    splits.reverse()  # ascending bin indices, one per boundary
+    cw = np.concatenate([[0.0], np.cumsum(w)])
+    cwx = np.concatenate([[0.0], np.cumsum(w * x)])
+    edges = [0] + splits + [n]
+    means = []
+    for a, b in zip(edges, edges[1:]):
+        ww = cw[b] - cw[a]
+        means.append((cwx[b] - cwx[a]) / ww if ww > 0
+                     else float(x[(a + b) // 2 if b > a else min(a, n - 1)]))
+    return [float((means[i] + means[i + 1]) / 2.0) for i in range(len(means) - 1)]
 
 
 def cluster_diagnostics(centers: np.ndarray, counts: np.ndarray,
@@ -152,7 +203,7 @@ def cluster_diagnostics(centers: np.ndarray, counts: np.ndarray,
     bootstrap is a seed lottery the engine deliberately replaces with a
     closed-form, reproducible statistic)."""
     ks = list(range(1, k_max + 1))
-    wss = [optimal_1d_kmeans_wss(centers, counts, k) for k in ks]
+    wss = _kmeans_dp(centers, counts, k_max)[0]
     logw = np.log(np.asarray(wss) + 1e-12)
     if len(ks) >= 3:
         curv = logw[:-2] - 2 * logw[1:-1] + logw[2:]  # at k = 2..k_max-1
@@ -160,6 +211,27 @@ def cluster_diagnostics(centers: np.ndarray, counts: np.ndarray,
     else:
         elbow = ks[-1]
     return {"k": ks, "wss": [round(v, 6) for v in wss], "elbow_k": elbow}
+
+
+def propose_strata(centers: np.ndarray, counts: np.ndarray,
+                   k_max: int = 6) -> dict:
+    """Data-driven MULTI-COMPONENT strata proposal (the reference's M1
+    capability, Step3:150-366: fit a 5-7-component mixture to the gap
+    distribution, then derive strata bounds between components): the
+    curvature elbow over the exact WSS scan picks k, the DP backtrack
+    yields the k-1 boundaries between the k globally-optimal 1-D clusters.
+    Deterministic end-to-end — the same histogram always proposes the same
+    bands, unlike the reference's gamlssMX seed lottery.  A genuinely
+    multi-modal corpus therefore gets a k-band proposal (k up to k_max),
+    not a forced 2-cluster split."""
+    diag = cluster_diagnostics(centers, counts, k_max)
+    k = diag["elbow_k"]
+    bounds = kmeans_boundaries(centers, counts, k)
+    return {
+        "k": k,
+        "boundaries": [round(b, 6) for b in bounds],
+        "diagnostics": diag,
+    }
 
 
 def fuzzy_membership_cols(value, centers: list[float]):
@@ -199,12 +271,14 @@ def refit_thresholds(scored: DataFrame) -> dict:
     ppl_hi = float(config.PPL_MAX * 4)
     c, n = score_histogram(scored, "ppl_score", 0.0, ppl_hi)
     ppl_cut = kmeans2_boundary(c, n)
-    ppl_diag = cluster_diagnostics(c, n)
+    ppl_strata = propose_strata(c, n)
+    ppl_diag = ppl_strata["diagnostics"]
     ppl_pcts = _percentiles(scored, "ppl_score", [0.5, 0.9, 0.99], n_rows)
 
     c, n = score_histogram(scored, "lid_margin", 0.0, 4.0)
     lid_cut = kmeans2_boundary(c, n)
-    lid_diag = cluster_diagnostics(c, n)
+    lid_strata = propose_strata(c, n)
+    lid_diag = lid_strata["diagnostics"]
     lid_pcts = _percentiles(scored, "lid_margin", [0.01, 0.1, 0.5], n_rows)
 
     c, n = score_histogram(scored, "silence_ratio", 0.0, 1.0)
@@ -233,4 +307,13 @@ def refit_thresholds(scored: DataFrame) -> dict:
         # M6 graft: cluster-count diagnostics per fitted score (wss scan +
         # curvature elbow over the same histograms — no extra corpus pass)
         "diagnostics": {"ppl_score": ppl_diag, "lid_margin": lid_diag},
+        # M1 graft: elbow-chosen MULTI-component band proposal per score
+        # (the reference's 5-7-component strata derivation, Step3:349-366),
+        # from the same histograms — no extra corpus pass
+        "strata": {
+            "ppl_score": {k: v for k, v in ppl_strata.items()
+                          if k != "diagnostics"},
+            "lid_margin": {k: v for k, v in lid_strata.items()
+                           if k != "diagnostics"},
+        },
     }

@@ -5,7 +5,9 @@
 
 Reads a clips table (or, with --scored, an already-scored table such as a
 checkpoint's `scored/` directory — skipping the UDF pass), derives
-threshold candidates via engine/refit.py (histogram + exact 1-D 2-means),
+threshold candidates via engine/refit.py (histogram + exact 1-D 2-means,
+plus an elbow-chosen MULTI-component strata proposal per score — the
+reference's 5-7-component mixture-strata capability, Step3:150-366),
 and writes a provenance-stamped JSON proposal.  The proposal is a config
 DIFF for human review — the job never mutates config.py (frozen constants
 are the contract; see engine/config.py docstring).

@@ -159,3 +159,55 @@ def test_fuzzy_membership_properties(spark):
     assert out.loc[100.0].tolist() == [0.0, 1.0, 0.0]
     assert out.loc[25.0, "u0"] > out.loc[25.0, "u1"] > out.loc[25.0, "u2"]
     assert out.loc[500.0, "u2"] > out.loc[500.0, "u1"] > out.loc[500.0, "u0"]
+
+
+def _modal_histogram(modes, spread=4, n=200, hi=100):
+    import numpy as np
+
+    centers = np.linspace(0, hi, n)
+    counts = np.zeros(n, dtype=np.int64)
+    for m in modes:
+        counts += (1000 * np.exp(-((centers - m) ** 2)
+                                 / (2 * spread ** 2))).astype(np.int64)
+    return centers, counts
+
+
+def test_kmeans_boundaries_exact_and_consistent():
+    """DP-backtracked boundaries: at k=2 they must equal kmeans2_boundary
+    exactly (same midpoint-of-means convention over the same optimal
+    split), and at k=3 on a tiny histogram they must separate the three
+    brute-force-optimal segments."""
+    import numpy as np
+
+    from engine import refit
+
+    x = np.array([0.0, 1.0, 2.0, 10.0, 11.0, 20.0])
+    w = np.array([2, 1, 1, 3, 1, 2], dtype=np.int64)
+    assert refit.kmeans_boundaries(x, w, 2) == [refit.kmeans2_boundary(x, w)]
+    b3 = refit.kmeans_boundaries(x, w, 3)
+    # optimal 3-segmentation is {0,1,2} | {10,11} | {20}: boundaries are
+    # midpoints of adjacent weighted segment means (0.75, 10.25, 20.0)
+    assert np.allclose(b3, [(0.75 + 10.25) / 2, (10.25 + 20.0) / 2])
+
+
+def test_propose_strata_recovers_planted_bands():
+    """M1 capability graft (reference Step3:150-366 fits 5-7-component
+    mixtures and derives strata): a corpus whose score distribution is
+    genuinely multi-modal must get a k-band proposal with k = the planted
+    mode count and boundaries inside the valleys — deterministically."""
+    from engine import refit
+
+    for modes, valleys in (
+            ([20, 52, 85], [(28, 44), (60, 77)]),
+            ([10, 35, 60, 90], [(18, 27), (43, 52), (68, 82)]),
+            ([8, 25, 45, 65, 88], [(13, 20), (30, 40), (50, 60), (72, 81)])):
+        c, n = _modal_histogram(modes)
+        p1 = refit.propose_strata(c, n)
+        p2 = refit.propose_strata(c, n)
+        assert p1 == p2  # deterministic
+        assert p1["k"] == len(modes), (modes, p1)
+        assert len(p1["boundaries"]) == len(modes) - 1
+        for b, (lo, hi) in zip(p1["boundaries"], valleys):
+            assert lo <= b <= hi, (modes, b, (lo, hi))
+        # the proposal carries its own model-selection evidence
+        assert p1["diagnostics"]["elbow_k"] == len(modes)
