@@ -75,20 +75,31 @@ def _sweep_orphans(path: str) -> None:
     its writer pid is dead AND it has been quiet for 5 minutes, or
     unconditionally after 24 h.  The age guards cover the two /proc
     blind spots: a writer in another PID namespace sharing /tmp (its pid
-    looks dead here, but an in-progress Spark write keeps refreshing the
-    dir mtime via part-file create/rename), and pid REUSE (the orphan's
-    pid number now names an unrelated live process, so the 24 h catch-all
-    reclaims it regardless).  The tiny `.lock` files persist by design —
-    unlinking a file others may flock() races a third opener onto a
-    different inode, silently splitting the lock."""
+    looks dead here, but an in-progress Spark write keeps creating and
+    renaming part files SOMEWHERE in the tree — under `_temporary/`
+    subdirs, which is why quietness is judged on the MAX mtime across the
+    whole tree, not the top-level dir whose mtime Spark only touches at
+    job start and commit), and pid REUSE (the orphan's pid number now
+    names an unrelated live process, so the 24 h catch-all reclaims it
+    regardless).  The tiny `.lock` files persist by design — unlinking a
+    file others may flock() races a third opener onto a different inode,
+    silently splitting the lock."""
     import time
 
     now = time.time()
     for d in glob.glob(f"{path}.tmp.*") + glob.glob(f"{path}.stale.*"):
         try:
-            age = now - os.stat(d).st_mtime
+            newest = os.stat(d).st_mtime
         except OSError:
             continue  # concurrently removed
+        for root, dirs, files in os.walk(d):
+            for name in dirs + files:
+                try:
+                    t = os.stat(os.path.join(root, name)).st_mtime
+                except OSError:
+                    continue  # concurrently renamed/removed
+                newest = max(newest, t)
+        age = now - newest
         pid = d.rsplit(".", 1)[-1]
         pid_dead = not (pid.isdigit() and os.path.exists(f"/proc/{pid}"))
         if (pid_dead and age > _SWEEP_DEAD_PID_AGE_S) or age > _SWEEP_ANY_AGE_S:

@@ -95,16 +95,22 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
     Empty/degenerate text -> ("und", 0.0).
 
     Peak memory is bounded: the (trigrams x n_langs) float64 scoring
-    temporaries are materialized per chunk of <= _TRI_CHUNK trigrams
-    (~64 MB each at 8 langs), chunks split at text boundaries — an Arrow
+    temporaries AND the UTF-32 (4 B/char) codepoint buffers are
+    materialized per chunk of <= _TRI_CHUNK trigrams (~64 MB of scoring
+    temporaries at 8 langs), chunks split at text boundaries — an Arrow
     batch of pathologically long transcripts costs O(_TRI_CHUNK), not
-    O(batch chars), per UDF worker.  Chunking is bit-identical to one
-    pass because every per-text reduction is segment-local."""
+    O(batch chars), per UDF worker beyond the lowered-string copies
+    (~1 B/char for ASCII, the same size class as the batch itself).
+    Chunking is bit-identical to one pass because every per-text
+    reduction is segment-local."""
     n = len(texts)
     langs: list[str] = ["und"] * n
     margins = np.zeros(n, dtype=np.float64)
 
-    padded: list[bytes] = []
+    # hold padded lowered STRINGS here; the 4 B/char UTF-32 encode happens
+    # lazily inside each chunk (round-4 ADVICE: encoding the whole batch up
+    # front made only the scoring temporaries chunk-bounded)
+    padded: list[str] = []
     rows: list[int] = []
     glens: list[int] = []
     for i, t in enumerate(texts):
@@ -112,7 +118,7 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
         if not s:
             continue
         p = _PAD + s.lower() + _PAD
-        padded.append(p.encode("utf-32-le"))
+        padded.append(p)
         rows.append(i)
         glens.append(len(p) - 2)
     if not rows:
@@ -126,8 +132,11 @@ def score_batch(texts) -> tuple[list[str], np.ndarray]:
 
 def _score_chunk(padded: list, glens: list, rows: list,
                  langs: list, margins: np.ndarray) -> None:
-    """Score one concatenated chunk of non-empty texts in place."""
-    cp = np.frombuffer(b"".join(padded), dtype="<u4").astype(np.uint64)
+    """Score one concatenated chunk of non-empty texts in place (the
+    UTF-32 materialization is chunk-local by construction)."""
+    cp = np.frombuffer(
+        b"".join(p.encode("utf-32-le") for p in padded),
+        dtype="<u4").astype(np.uint64)
     glens_a = np.array(glens, dtype=np.int64)
     # start offset of each text's codepoints in `cp`
     offs = np.zeros(len(rows), dtype=np.int64)

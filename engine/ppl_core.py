@@ -121,28 +121,35 @@ def perplexity_batch(texts, langs) -> list[float]:
     empty text -> +inf stand-in (1e9) so HIGH_PPL fires deterministically."""
     n = len(texts)
     out = np.full(n, _HUGE, dtype=np.float64)
-    groups: dict[str, tuple[list[int], list[list[str]]]] = {}
+    # group TEXTS (references into the Arrow batch), not token lists: a
+    # split token list costs ~15x its text's bytes in str-object overhead,
+    # so holding every list at once would defeat the chunking below
+    # (round-4 ADVICE).  Token counts are computed with a throwaway split
+    # (peak = one text's list) and the real split happens chunk-locally.
+    groups: dict[str, tuple[list[int], list[str], list[int]]] = {}
     for i, (t, lang) in enumerate(zip(texts, langs)):
         m = _MODELS.get(lang)
         if m is None:
             continue
-        words = (t if isinstance(t, str) else "").split()
-        if not words:
+        s = t if isinstance(t, str) else ""
+        n_words = len(s.split())
+        if n_words == 0:
             continue
-        rows, toks = groups.setdefault(lang, ([], []))
+        rows, txts, lens = groups.setdefault(lang, ([], [], []))
         rows.append(i)
-        toks.append(words)
+        txts.append(s)
+        lens.append(n_words)
     # bound peak memory like lid_core: the O(total tokens) scoring arrays
-    # are materialized per chunk of <= _TOK_CHUNK tokens, chunks split at
-    # text boundaries (bit-identical — every per-text reduction is
-    # segment-local), so a batch of pathologically long transcripts costs
-    # O(_TOK_CHUNK) per UDF worker, not O(batch tokens)
-    for lang, (rows, toks) in groups.items():
+    # AND the token lists are materialized per chunk of <= _TOK_CHUNK
+    # tokens, chunks split at text boundaries (bit-identical — every
+    # per-text reduction is segment-local), so a batch of pathologically
+    # long transcripts costs O(_TOK_CHUNK) per UDF worker, not
+    # O(batch tokens)
+    for lang, (rows, txts, lens) in groups.items():
         m = _MODELS[lang]
-        for start, end in chunking.chunk_spans(
-                [len(t) for t in toks], _TOK_CHUNK):
+        for start, end in chunking.chunk_spans(lens, _TOK_CHUNK):
             out[np.array(rows[start:end], dtype=np.int64)] = \
-                _score_group(m, toks[start:end])
+                _score_group(m, [s.split() for s in txts[start:end]])
     return out.tolist()
 
 

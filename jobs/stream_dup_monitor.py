@@ -37,7 +37,6 @@ tests/test_streaming.py::test_stream_dup_monitor_matches_batch_reconcile).
 from __future__ import annotations
 
 import argparse
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -92,7 +91,17 @@ def main() -> int:
     # per-store parent would silently reprocess the input from offset zero
     # with restarted batch ids, mixing fresh and stale batch_id dirs in the
     # output.  The operator must pick a fresh dir (and a fresh output).
-    if os.path.isdir(os.path.join(ckpt, "offsets")):
+    # The probe goes through the Hadoop FileSystem API, not os.path: with
+    # an hdfs:// or s3a:// --checkpoint a local-fs check would silently
+    # pass and the reprocessing hazard would return.
+    def _hadoop_isdir(uri: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        return fs.exists(path) and fs.getFileStatus(path).isDirectory()
+
+    if _hadoop_isdir(f"{ckpt}/offsets"):
         raise SystemExit(
             f"checkpoint {ckpt!r} holds a pre-two-store (single-query) "
             "offset log; pass --checkpoint pointing at a fresh directory "

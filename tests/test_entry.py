@@ -275,10 +275,23 @@ def test_materialize_sweeps_aged_orphans(tmp_path):
         os.makedirs(tmp, exist_ok=True)
         open(os.path.join(tmp, "_SUCCESS"), "w").write("")
 
+    # deep-write blind spot (round-4 ADVICE): Spark stages part files under
+    # _temporary/ subdirs and only touches the TOP-LEVEL mtime at job start
+    # and commit — a dead-looking (other PID namespace) writer mid-write
+    # has an old top-level mtime but a fresh nested part file, and must
+    # survive the sweep
+    deep_live = f"{target}.tmp.999999996"
+    staging = os.path.join(deep_live, "_temporary", "0")
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-00000"), "w").write("x")
+    for p in (deep_live, os.path.join(deep_live, "_temporary")):
+        os.utime(p, (now - 600, now - 600))
+
     assert entrymod._materialize(target, write_ok) == target
     assert not os.path.exists(dead_old)
     assert not os.path.exists(f"{target}.stale.999999997")
     assert os.path.exists(dead_fresh)  # inside the dead-pid grace window
+    assert os.path.exists(deep_live)  # fresh nested write keeps it alive
 
     # 24 h catch-all: even a pid that looks ALIVE (reuse) is reclaimed
     os.utime(live_ancient, (now - 25 * 3600, now - 25 * 3600))
