@@ -160,8 +160,21 @@ def _time_clips_pipeline(spark, n_clips: int) -> dict:
             "clips_per_sec": round(n_rows / dt, 1)}
 
 
+FAULT_GBPS_HEALTHY = 0.5  # below this, wall-clock numbers are host noise
+
+
+def _warn_if_host_collapsed(fault_gbps: float) -> None:
+    if fault_gbps < FAULT_GBPS_HEALTHY:
+        print(f"WARNING: host first-touch page-fault throughput is "
+              f"{fault_gbps} GB/s (healthy guests measure >1): fresh "
+              f"allocations are hypervisor-bound and the timings below "
+              f"are NOT evidence about the engine (see BENCH/BASELINE.md"
+              f" 'Host page-fault collapse')", file=sys.stderr)
+
+
 def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
     fault_gbps = host_first_touch_gbps()
+    _warn_if_host_collapsed(fault_gbps)
     spark = _build_spark(cpus, n_clips)
     import __spark_entry__ as entry_mod
 
@@ -220,6 +233,7 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
 def run_level(cpus: int, n_clips: int, repeats: int = 3) -> dict:
     """Single-level worker: fused clips pipeline only, best of `repeats`."""
     fault_gbps = host_first_touch_gbps()
+    _warn_if_host_collapsed(fault_gbps)
     spark = _build_spark(cpus, n_clips)
     results = [_time_clips_pipeline(spark, n_clips) for _ in range(repeats)]
     spark.stop()

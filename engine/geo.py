@@ -25,8 +25,10 @@ roundtrip at nanometer scale, GPS-jitter equivalence to the great-circle
 midpoint, and long-segment divergence from it.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — it stringifies
+# type hints module-wide, and pyspark resolves pandas_udf signatures
+# (Series... -> DataFrame == struct-returning scalar UDF) from the LIVE
+# hint objects; stringified hints raise UNSUPPORTED_SIGNATURE.
 import numpy as np
 
 # GRS80 ellipsoid (NAD83): EPSG:26915 = UTM zone 15N on NAD83
@@ -112,3 +114,25 @@ def projected_midpoint(lat1, lon1, lat2, lon2):
     e1, n1 = tm_forward(lat1, lon1)
     e2, n2 = tm_forward(lat2, lon2)
     return tm_inverse((e1 + e2) / 2.0, (n1 + n2) / 2.0)
+
+
+def projected_midpoint_udf():
+    """Spark-facing form: an Arrow-vectorized pandas UDF
+    (lat1, lon1, lat2, lon2) -> struct<mid_lat:double, mid_lon:double>.
+    One numpy expression chain per Arrow batch — the JVM never sees a
+    per-row Python call, so at 10^12 segment rows this is a map-side
+    projection like any built-in Column function (the series math itself
+    has no Spark-native expression, which is why this is a UDF at all)."""
+    import pandas  # noqa: ICN001 - real (non-string) annotations below:
+    # pyspark resolves pandas_udf signatures from the type hints, so they
+    # must reference the imported module object, not a lazy alias string
+    from pyspark.sql import functions as F
+
+    def _mid(lat1: pandas.Series, lon1: pandas.Series, lat2: pandas.Series,
+             lon2: pandas.Series) -> pandas.DataFrame:
+        mla, mlo = projected_midpoint(
+            lat1.to_numpy(dtype=np.float64), lon1.to_numpy(dtype=np.float64),
+            lat2.to_numpy(dtype=np.float64), lon2.to_numpy(dtype=np.float64))
+        return pandas.DataFrame({"mid_lat": mla, "mid_lon": mlo})
+
+    return F.pandas_udf(_mid, "mid_lat double, mid_lon double")

@@ -81,3 +81,27 @@ def test_vectorized_batch_matches_scalar():
             float(lat1[i]), float(lon1[i]), float(lat2[i]), float(lon2[i]))
         assert abs(float(sla) - mla[i]) == 0.0
         assert abs(float(slo) - mlo[i]) == 0.0
+
+
+def test_projected_midpoint_spark_udf_matches_numpy(spark):
+    """The Arrow-vectorized pandas UDF is the numpy form mapped over a
+    Spark column batch — values identical to driver-side numpy."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "lat1": rng.uniform(40, 49, 500), "lon1": rng.uniform(-98, -88, 500),
+    })
+    pdf["lat2"] = pdf["lat1"] + rng.uniform(-0.3, 0.3, 500)
+    pdf["lon2"] = pdf["lon1"] + rng.uniform(-0.3, 0.3, 500)
+    df = spark.createDataFrame(pdf).repartition(7)
+    mid = geo.projected_midpoint_udf()
+    out = (df.withColumn("m", mid("lat1", "lon1", "lat2", "lon2"))
+           .select("lat1", "lon1", "lat2", "lon2", "m.mid_lat", "m.mid_lon")
+           .toPandas().sort_values("lat1").reset_index(drop=True))
+    want_la, want_lo = geo.projected_midpoint(
+        out["lat1"].values, out["lon1"].values,
+        out["lat2"].values, out["lon2"].values)
+    assert np.array_equal(out["mid_lat"].values, want_la)
+    assert np.array_equal(out["mid_lon"].values, want_lo)
