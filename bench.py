@@ -214,6 +214,8 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
         total += dt
 
     spark.stop()
+    fault_end = host_first_touch_gbps()
+    _warn_if_host_collapsed(fault_end)
     return {
         "metric": "fused clips quality-filter pass + full operator-inventory suite, wall sec",
         "value": round(total, 3),
@@ -226,20 +228,38 @@ def run_default(cpus: int, sf_dir: str, n_clips: int) -> dict:
         "clips_fused_runs_sec": fused_secs,
         "clips_fused_median_sec": fused_secs[len(fused_secs) // 2],
         "clips_per_sec": clips["clips_per_sec"],
-        "host_first_touch_gbps": fault_gbps,
+        # min of a probe BEFORE and one AFTER the timed section: the
+        # documented collapse mode hits mid-run, so a single pre-run
+        # sample could stamp poisoned timings as healthy
+        "host_first_touch_gbps": min(fault_gbps, fault_end),
+        "host_first_touch_gbps_probes": [fault_gbps, fault_end],
     }
 
 
 def run_level(cpus: int, n_clips: int, repeats: int = 3) -> dict:
-    """Single-level worker: fused clips pipeline only, best of `repeats`."""
-    fault_gbps = host_first_touch_gbps()
-    _warn_if_host_collapsed(fault_gbps)
+    """Single-level worker: fused clips pipeline only, best of `repeats`.
+    The host probe brackets the timed section (start AND end) — the
+    documented collapse mode hits MID-run, so a single pre-run sample can
+    stamp poisoned timings as healthy; each run dict also carries the
+    probe taken right after it."""
+    fault_start = host_first_touch_gbps()
+    _warn_if_host_collapsed(fault_start)
     spark = _build_spark(cpus, n_clips)
-    results = [_time_clips_pipeline(spark, n_clips) for _ in range(repeats)]
+    results = []
+    probes = [fault_start]
+    for _ in range(repeats):
+        r = _time_clips_pipeline(spark, n_clips)
+        g = host_first_touch_gbps()
+        probes.append(g)
+        results.append({**r, "host_first_touch_gbps": g})
     spark.stop()
+    _warn_if_host_collapsed(min(probes))
     best = min(results, key=lambda r: r["sec"])
-    return {"cpus": cpus, "n_clips": n_clips, "runs": results,
-            "host_first_touch_gbps": fault_gbps, **best}
+    return {"cpus": cpus, "n_clips": n_clips, "runs": results, **best,
+            # AFTER **best so the worst (min) probe wins over the
+            # best-run's own sample — the conservative adjudication value
+            "host_first_touch_gbps": min(probes),
+            "host_first_touch_gbps_probes": probes}
 
 
 def run_scaling(levels: list[int], n_clips: int, rounds: int = 2) -> dict:
@@ -267,19 +287,28 @@ def run_scaling(levels: list[int], n_clips: int, rounds: int = 2) -> dict:
     out = {}
     for lv in levels:
         best = min(all_runs[lv], key=lambda x: x["sec"])
+        # per-run probes ride along in each run dict; surface the worst
+        # one per level so the scaling artifact itself is adjudicable
+        # under the BASELINE.md host-collapse rule
+        probes = [r["host_first_touch_gbps"] for r in all_runs[lv]
+                  if "host_first_touch_gbps" in r]
         out[lv] = {"cpus": lv, "n_clips": n_clips,
-                   "runs": all_runs[lv], **best}
+                   "runs": all_runs[lv], **best,
+                   "host_first_touch_gbps": min(probes) if probes else None}
 
     lo, hi = min(levels), max(levels)
     t_lo, t_hi = out[lo]["sec"], out[hi]["sec"]
     factor = hi / lo
     eff = (t_lo / t_hi) / factor
+    probes = [v["host_first_touch_gbps"] for v in out.values()
+              if v.get("host_first_touch_gbps") is not None]
     report = {
         "levels": {str(k): v for k, v in out.items()},
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "factor": factor,
         "gate": ">=0.8 (north_rule; N vs 4N proxy = local[%d] vs local[%d])" % (lo, hi),
+        "host_first_touch_gbps": min(probes) if probes else None,
     }
     _write_baseline_md(report, n_clips)
     return report
@@ -325,17 +354,23 @@ def _write_baseline_md(report: dict, n_clips: int) -> None:
         "Levels measured in interleaved rounds (2-8-8-2 ordering) so host-noise",
         "windows hit both levels alike; best run per level, fresh JVM per block.",
         "",
-        "| parallelism | wall sec | clips/sec |",
-        "|---|---|---|",
+        "| parallelism | wall sec | clips/sec | worst host fault probe GB/s |",
+        "|---|---|---|---|",
     ]
     for k in keys:
         r = lv[str(k)]
-        lines.append(f"| local[{k}] | {r['sec']} | {r['clips_per_sec']} |")
+        lines.append(f"| local[{k}] | {r['sec']} | {r['clips_per_sec']} "
+                     f"| {r.get('host_first_touch_gbps')} |")
     lines += [
         "",
         f"**speedup {keys[0]}->{keys[-1]} cores: {report['speedup']}x**",
         f"**scaling efficiency: {report['scaling_efficiency']}** "
         f"(gate >= 0.8 over a {report['factor']:.0f}x size step)",
+        "",
+        "Host health: every run carries a first-touch page-fault probe;",
+        "a worst probe below ~0.5 GB/s means the measurement is",
+        "hypervisor-bound, not engine evidence (see 'Host page-fault",
+        "collapse' below the manual marker).",
         "",
         "Reference baseline: none published (single-threaded R, see SURVEY.md §6);",
         "the reference's O(n·m) driver loops cap it at ~10^4-10^5 episodes, so any",

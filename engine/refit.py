@@ -162,20 +162,20 @@ def optimal_1d_kmeans_wss(centers: np.ndarray, counts: np.ndarray,
     return _kmeans_dp(centers, counts, k)[0][k - 1]
 
 
-def kmeans_boundaries(centers: np.ndarray, counts: np.ndarray,
-                      k: int) -> list[float]:
-    """EXACT 1-D k-means segmentation -> k-1 boundary values, each the
-    midpoint of the means of two adjacent clusters (the same convention
-    kmeans2_boundary uses at k=2).  Deterministic: ties in the DP argmin
-    resolve to the leftmost split.  This is the multi-component analog of
-    the reference's 5-7-component strata derivation (mixture fit ->
-    component boundaries, Step3-Temporal-Inconsistency.R:150-355) with the
-    seed-lottery mixture fit replaced by a globally-optimal segmentation."""
+def _boundaries_from_back(centers: np.ndarray, counts: np.ndarray,
+                          back: np.ndarray, k: int) -> list[float]:
+    """Backtrack a k-segmentation from a DP `back` table built with
+    k_max >= k (back[t] is the t+2-cluster layer, valid for any smaller
+    k) and convert it to k-1 boundaries = midpoints of adjacent cluster
+    means."""
     w = counts.astype(np.float64)
     x = centers.astype(np.float64)
     n = len(x)
-    _wss, back = _kmeans_dp(centers, counts, k)
-    # recover split points right-to-left: [0,n) under k clusters
+    if w.sum() == 0:
+        # zero-weight histogram: every segmentation is vacuous — mirror
+        # kmeans2_boundary's degenerate convention (the middle bin center)
+        # so the k=2 equality invariant holds on ALL inputs
+        return [float(x[n // 2])] * (k - 1)
     splits = []
     j = n
     for t in range(k - 2, -1, -1):
@@ -193,28 +193,46 @@ def kmeans_boundaries(centers: np.ndarray, counts: np.ndarray,
     return [float((means[i] + means[i + 1]) / 2.0) for i in range(len(means) - 1)]
 
 
+def kmeans_boundaries(centers: np.ndarray, counts: np.ndarray,
+                      k: int) -> list[float]:
+    """EXACT 1-D k-means segmentation -> k-1 boundary values, each the
+    midpoint of the means of two adjacent clusters (the same convention
+    kmeans2_boundary uses at k=2, INCLUDING its zero-weight degenerate
+    fallback).  Deterministic: ties in the DP argmin resolve to the
+    leftmost split.  This is the multi-component analog of the
+    reference's 5-7-component strata derivation (mixture fit ->
+    component boundaries, Step3-Temporal-Inconsistency.R:150-355) with the
+    seed-lottery mixture fit replaced by a globally-optimal segmentation."""
+    _wss, back = _kmeans_dp(centers, counts, k)
+    return _boundaries_from_back(centers, counts, back, k)
+
+
+def _elbow_from_wss(wss: list[float]) -> int:
+    """Curvature elbow over a WSS scan: argmax of the second difference
+    of log(WSS+eps), defined at k = 2..len(wss)-1 (the discrete curvature
+    criterion; clusGap's B=50 bootstrap is a seed lottery the engine
+    deliberately replaces with a closed-form, reproducible statistic)."""
+    logw = np.log(np.asarray(wss) + 1e-12)
+    if len(wss) >= 3:
+        curv = logw[:-2] - 2 * logw[1:-1] + logw[2:]
+        return int(np.argmax(curv)) + 2
+    return len(wss)
+
+
 def cluster_diagnostics(centers: np.ndarray, counts: np.ndarray,
                         k_max: int = 6) -> dict:
     """Cluster-count diagnostics — deterministic analog of the reference's
     wss-scan + clusGap model selection (get_nbclust/clusGap,
     Step2-Data-Incompleteness.R:223-224, Step3:377-379): exact WSS per k
-    from the DP above, elbow = argmax of the second difference of
-    log(WSS+eps) (the discrete curvature criterion; clusGap's B=50
-    bootstrap is a seed lottery the engine deliberately replaces with a
-    closed-form, reproducible statistic)."""
-    ks = list(range(1, k_max + 1))
+    from the DP above, elbow per _elbow_from_wss."""
     wss = _kmeans_dp(centers, counts, k_max)[0]
-    logw = np.log(np.asarray(wss) + 1e-12)
-    if len(ks) >= 3:
-        curv = logw[:-2] - 2 * logw[1:-1] + logw[2:]  # at k = 2..k_max-1
-        elbow = int(np.argmax(curv)) + 2
-    else:
-        elbow = ks[-1]
-    return {"k": ks, "wss": [round(v, 6) for v in wss], "elbow_k": elbow}
+    return {"k": list(range(1, k_max + 1)),
+            "wss": [round(v, 6) for v in wss],
+            "elbow_k": _elbow_from_wss(wss)}
 
 
 def propose_strata(centers: np.ndarray, counts: np.ndarray,
-                   k_max: int = 6) -> dict:
+                   k_max: int = 8) -> dict:
     """Data-driven MULTI-COMPONENT strata proposal (the reference's M1
     capability, Step3:150-366: fit a 5-7-component mixture to the gap
     distribution, then derive strata bounds between components): the
@@ -222,11 +240,19 @@ def propose_strata(centers: np.ndarray, counts: np.ndarray,
     yields the k-1 boundaries between the k globally-optimal 1-D clusters.
     Deterministic end-to-end — the same histogram always proposes the same
     bands, unlike the reference's gamlssMX seed lottery.  A genuinely
-    multi-modal corpus therefore gets a k-band proposal (k up to k_max),
-    not a forced 2-cluster split."""
-    diag = cluster_diagnostics(centers, counts, k_max)
-    k = diag["elbow_k"]
-    bounds = kmeans_boundaries(centers, counts, k)
+    multi-modal corpus therefore gets a k-band proposal with k up to and
+    INCLUDING k_max: the scan runs one step past k_max because the
+    curvature statistic is undefined at the scan's endpoints, so a
+    k_max-long scan could never elect k_max (a 6-modal corpus at k_max=6
+    previously collapsed to a 2-band proposal).  The default k_max=8
+    covers the reference's observed 5-7-component range with headroom.
+    ONE DP pass serves both the diagnostics and the backtrack."""
+    wss, back = _kmeans_dp(centers, counts, k_max + 1)
+    diag = {"k": list(range(1, k_max + 2)),
+            "wss": [round(v, 6) for v in wss],
+            "elbow_k": _elbow_from_wss(wss)}
+    k = min(diag["elbow_k"], k_max)
+    bounds = _boundaries_from_back(centers, counts, back, k)
     return {
         "k": k,
         "boundaries": [round(b, 6) for b in bounds],

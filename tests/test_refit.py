@@ -211,3 +211,40 @@ def test_propose_strata_recovers_planted_bands():
             assert lo <= b <= hi, (modes, b, (lo, hi))
         # the proposal carries its own model-selection evidence
         assert p1["diagnostics"]["elbow_k"] == len(modes)
+
+
+def test_propose_strata_can_elect_k_max():
+    """Review regression: the curvature elbow is undefined at the scan's
+    endpoints, so a k_max-long scan could never elect k_max and a 6-modal
+    corpus at k_max=6 collapsed to a 2-band proposal.  The scan now runs
+    one step past k_max; a corpus with exactly k_max modes must get a
+    k_max-band proposal."""
+    import numpy as np
+
+    from engine import refit
+
+    centers = np.linspace(0, 120, 240)
+    counts = np.zeros(240, dtype=np.int64)
+    for m in (10, 30, 50, 70, 90, 110):
+        counts += (1000 * np.exp(-((centers - m) ** 2) / 18.0)).astype(np.int64)
+    p = refit.propose_strata(centers, counts, k_max=6)
+    assert p["k"] == 6
+    assert len(p["boundaries"]) == 5
+    for b, (lo, hi) in zip(p["boundaries"],
+                           [(15, 25), (35, 45), (55, 65), (75, 85), (95, 105)]):
+        assert lo <= b <= hi, (b, lo, hi)
+
+
+def test_kmeans_boundaries_degenerate_matches_kmeans2():
+    """Review regression: on a zero-weight histogram (score column
+    entirely null) kmeans_boundaries must keep its documented k=2
+    equality with kmeans2_boundary — both fall back to the middle bin
+    center."""
+    import numpy as np
+
+    from engine import refit
+
+    x = np.linspace(0, 10, 8)
+    w = np.zeros(8, dtype=np.int64)
+    assert refit.kmeans_boundaries(x, w, 2) == [refit.kmeans2_boundary(x, w)]
+    assert refit.kmeans_boundaries(x, w, 4) == [float(x[4])] * 3
